@@ -169,8 +169,8 @@ class FrameEngine:
             F.lit(None).cast("string").alias("refk"),
         )
         groups = self.spark.createDataFrame(
-            [("r", 0, "", None, None)],
-            "gid string, gord long, stk string, edge string, refk string",
+            [("r", 0, "", None)],
+            "gid string, gord long, stk string, edge string",
         )
         res = self.compile(root, cand, groups, required=strict)
         matches = res.matches.select("focus", "ord", "value").orderBy("ord")
@@ -253,7 +253,10 @@ class FrameEngine:
         required = required and not shape.lenient
 
         if isinstance(shape, (RecordShape, ListShape)) and \
-                sid.key() in self.recursive_ids and not self._fix_mode:
+                sid.key() in self.recursive_ids:
+            # recursion is cut at record/list shapes: sites join the
+            # global fixpoint relation (inside the fixpoint loop this
+            # reads the previous round's relation — semi-naive style)
             res = self._compile_recursive_site(shape, cand, groups)
         elif isinstance(shape, (ResourceShape, LiteralShape)):
             res = self._compile_node(shape, cand, groups)
@@ -423,7 +426,8 @@ class FrameEngine:
         gate_fail_diag: Optional[DataFrame] = None
         for prop, pdf in tprops:
             gate_ok = gate_ok.join(
-                pdf.filter(F.col("ok")).select("ckey"), "ckey", "left_semi"
+                pdf.filter(F.col("ok")).select(F.col("ckey").alias("__gck")),
+                F.col("ckey") == F.col("__gck"), "left_semi"
             )
             fail = pdf.filter(~F.col("ok")).select(
                 "ckey", "fcode", "fstack", "ford"
@@ -433,7 +437,9 @@ class FrameEngine:
         if tfails:
             gf = tfails[0]
             for nxt in tfails[1:]:
-                gf = gf.unionAll(nxt.join(gf.select("ckey"), "ckey", "left_anti"))
+                gf = gf.unionAll(nxt.join(
+                    gf.select(F.col("ckey").alias("__fck")),
+                    F.col("ckey") == F.col("__fck"), "left_anti"))
             gate_fail_diag = gf
 
         gate_ok = gate_ok.persist()
@@ -453,13 +459,13 @@ class FrameEngine:
         fail_stack = F.lit(None).cast("string")
         for i, (prop, pdf) in enumerate(list(tprops) + list(pdfs)):
             a = pdf.select(
-                "ckey",
+                F.col("ckey").alias(f"__ck{i}"),
                 F.col("ok").alias(f"__ok{i}"),
                 F.col("value").alias(f"__v{i}"),
                 F.col("fcode").alias(f"__fc{i}"),
                 F.col("fstack").alias(f"__fs{i}"),
             )
-            acc = acc.join(a, "ckey", "left")
+            acc = acc.join(a, F.col("ckey") == F.col(f"__ck{i}"), "left")
             oki = F.coalesce(F.col(f"__ok{i}"), F.lit(False))
             ok_all = ok_all & oki
             fail_code = F.when(
@@ -503,7 +509,9 @@ class FrameEngine:
 
         mism = nonres
         if gate_fail_diag is not None:
-            gf = rc.join(gate_fail_diag, "ckey").select(
+            gf = rc.join(
+                gate_fail_diag.withColumnRenamed("ckey", "__dck"),
+                F.col("ckey") == F.col("__dck")).select(
                 "gid", "fkey", "focus", "ord", "gord",
                 F.col("fcode").alias("code"), F.col("fstack").alias("stack"),
             )
@@ -545,24 +553,23 @@ class FrameEngine:
             F.col("cgid").alias("gid"), F.col("pgord").alias("gord"),
             F.col("pstk").alias("stk"),
             F.lit(jstr(prop.name)).alias("edge"),
-            F.col("prefk").alias("refk"),
         )
         cres = self.compile(prop.value_shape, childcand, childgroups, required)
 
         magg = cres.matches.groupBy("gid").agg(
             F.count(F.lit(1)).alias("n"),
             F.min(F.struct("ord", "value")).alias("first_m"),
-            F.element_at(
-                F.array_sort(F.collect_list(F.struct("ord"))), 2
+            F.try_element_at(
+                F.array_sort(F.collect_list(F.struct("ord"))), F.lit(2)
             ).alias("second_m"),
-        )
+        ).withColumnRenamed("gid", "__mg")
         mmagg = cres.mismatches.groupBy("gid").agg(
             F.min(F.struct("ord", "code", "stack")).alias("fm"),
-        )
+        ).withColumnRenamed("gid", "__mmg")
         out = (
             meta
-            .join(magg, meta["cgid"] == magg["gid"], "left")
-            .join(mmagg, meta["cgid"] == mmagg["gid"], "left")
+            .join(magg, F.col("cgid") == F.col("__mg"), "left")
+            .join(mmagg, F.col("cgid") == F.col("__mmg"), "left")
         )
         n = F.coalesce(F.col("n"), F.lit(0))
         fm = F.col("fm")
@@ -603,7 +610,6 @@ class FrameEngine:
             F.when(F.col("stk") == "", own_frame)
             .otherwise(F.concat(F.col("stk"), F.lit(","), own_frame)).alias("stk"),
             F.lit(None).cast("string").alias("edge"),
-            "refk",
         )
         vres: List[Result] = []
         tagged: List[DataFrame] = []
@@ -665,7 +671,7 @@ class FrameEngine:
         )
         groups2 = groups.select(
             "gid", "gord", stk2.alias("stk"),
-            F.lit(None).cast("string").alias("edge"), "refk",
+            F.lit(None).cast("string").alias("edge"),
         )
         ires = self.compile(shape.item_shape, cand, groups2, required)
 
@@ -743,7 +749,7 @@ class FrameEngine:
         )
         groups2 = groups.select(
             "gid", "gord", stk2.alias("stk"),
-            F.lit(None).cast("string").alias("edge"), "refk",
+            F.lit(None).cast("string").alias("edge"),
         )
         # item framed non-strict; under a strict context the replay
         # (frame.ts:477-486) surfaces the diagnostics, which the
@@ -788,7 +794,8 @@ class FrameEngine:
         return Result(matches, mism, per_group=False)
 
     def _fixpoint_matches(self, sid: ShapeID) -> DataFrame:
-        self._ensure_fixpoint()
+        if not self._fix_mode:
+            self._ensure_fixpoint()
         return self._fix[sid.key()]
 
     def _ensure_fixpoint(self) -> None:
@@ -804,11 +811,6 @@ class FrameEngine:
         """
         if self._fix_done:
             return
-        rec_shapes = [
-            self.catalog.get_by_key(k) if hasattr(self.catalog, "get_by_key")
-            else None
-            for k in ()
-        ]
         targets = [
             s for s in self.catalog
             if s.id.key() in self.recursive_ids
@@ -824,8 +826,8 @@ class FrameEngine:
             "focus", "ord", F.lit(None).cast("string").alias("refk"),
         ).persist()
         groups = self.spark.createDataFrame(
-            [("u", 0, "", None, None)],
-            "gid string, gord long, stk string, edge string, refk string",
+            [("u", 0, "", None)],
+            "gid string, gord long, stk string, edge string",
         )
 
         self._fix_mode = True
@@ -1007,7 +1009,6 @@ class FrameEngine:
             igid.alias("gid"), F.col("gord"),
             F.col("pfx").alias("stk"),
             F.col("idx").cast("string").alias("edge"),
-            "refk",
         )
         ires = self.compile(shape.item_shape, childcand, childgroups, required)
         iagg = ires.matches.groupBy("gid").agg(
@@ -1095,7 +1096,7 @@ class FrameEngine:
         )
         groups2 = groups.select(
             "gid", "gord", stk2.alias("stk"),
-            F.lit(None).cast("string").alias("edge"), "refk",
+            F.lit(None).cast("string").alias("edge"),
         )
         cand2 = cand.withColumn(
             "refk",
