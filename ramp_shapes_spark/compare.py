@@ -102,3 +102,53 @@ def errors_equal(got_code: int, got_stack: List[dict],
     if "stack" not in want:
         return True
     return normalize_stack(got_stack) == normalize_stack(want["stack"])
+
+
+def triple_sets_isomorphic(got, want) -> bool:
+    """Quad-set equality up to blank-node renaming.
+
+    ``got``/``want``: iterables of (Term, str, Term).  Small-graph
+    backtracking matcher (closes the gap the reference harness left
+    open: flatten success-path graph comparison is TODO there,
+    test/operations.ts:219-224).
+    """
+    got = list(got)
+    want = list(want)
+    if len(got) != len(want):
+        return False
+
+    def tkey(term, mapping):
+        if term.kind == "bnode":
+            return ("b", mapping.get(term.value))
+        return ("t", term.key())
+
+    def solve(remaining_got, remaining_want, mapping):
+        if not remaining_got:
+            return True
+        s, p, o = remaining_got[0]
+        for i, (ws, wp, wo) in enumerate(remaining_want):
+            if wp != p:
+                continue
+            new_map = dict(mapping)
+            ok = True
+            for a, b in ((s, ws), (o, wo)):
+                if a.kind == "bnode" and b.kind == "bnode":
+                    bound = new_map.get(a.value)
+                    if bound is None:
+                        if b.value in new_map.values():
+                            ok = False
+                            break
+                        new_map[a.value] = b.value
+                    elif bound != b.value:
+                        ok = False
+                        break
+                elif a != b:
+                    ok = False
+                    break
+            if ok and solve(remaining_got[1:],
+                            remaining_want[:i] + remaining_want[i + 1:],
+                            new_map):
+                return True
+        return False
+
+    return solve(got, want, {})
