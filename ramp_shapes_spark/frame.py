@@ -179,7 +179,7 @@ class FrameEngine:
 
     def universe(self) -> DataFrame:
         if self._universe is None:
-            self._universe = all_candidate_terms(self.triples).persist()
+            self._universe = all_candidate_terms(self.triples).localCheckpoint(eager=True)
         return self._universe
 
     def _collect_errors(self) -> DataFrame:
@@ -412,7 +412,7 @@ class FrameEngine:
             rc = rc.withColumn("refk", F.col("ckey"))
             self._activate_collectors(shape)
 
-        rc = rc.persist()
+        rc = rc.localCheckpoint(eager=False)
         gated = required or bool(shape.type_properties)
 
         # --- type properties (the gate, frame.ts:248-253)
@@ -442,7 +442,7 @@ class FrameEngine:
                     F.col("ckey") == F.col("__fck"), "left_anti"))
             gate_fail_diag = gf
 
-        gate_ok = gate_ok.persist()
+        gate_ok = gate_ok.localCheckpoint(eager=False)
 
         # --- regular properties (strict once the gate matched)
         site_required = required or bool(shape.type_properties)
@@ -824,7 +824,7 @@ class FrameEngine:
         cand = uni.select(
             F.lit("u").alias("gid"), term_key(F.col("focus")).alias("fkey"),
             "focus", "ord", F.lit(None).cast("string").alias("refk"),
-        ).persist()
+        ).localCheckpoint(eager=False)
         groups = self.spark.createDataFrame(
             [("u", 0, "", None)],
             "gid string, gord long, stk string, edge string",
@@ -849,7 +849,7 @@ class FrameEngine:
                     agg = gm.agg(
                         F.count(F.lit(1)).alias("n"),
                         F.coalesce(
-                            F.sum(F.xxhash64(F.col("fkey"), F.col("value"))),
+                            F.bit_xor(F.xxhash64(F.col("fkey"), F.col("value"))),
                             F.lit(0),
                         ).alias("h"),
                     ).collect()[0]
@@ -900,7 +900,7 @@ class FrameEngine:
             .otherwise(F.concat(F.col("stk"), F.lit(","), own_frame)).alias("pfx"),
             F.md5(F.concat_ws("\x1e", F.col("gid"), F.col("fkey"),
                               F.lit(str(site)))).alias("ckey"),
-        ).persist()
+        ).localCheckpoint(eager=False)
 
         nonres0 = base.filter(~is_resource_col(f))
         walk_fail: List[DataFrame] = [

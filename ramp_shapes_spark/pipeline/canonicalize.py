@@ -1,0 +1,139 @@
+"""Entity canonicalization: connected components over candidate-link
+edges, with explicit skew defenses.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log n) rounds of groupBy/join, each expressible as DataFrame ops, far
+fewer rounds than naive label propagation on high-diameter graphs.  On
+the mention↔entity bipartite graphs this pipeline produces, components
+are star-shaped and it converges in 2-3 rounds.
+
+Skew defenses (the Zipf head entity can carry a double-digit share of
+all edges):
+
+* min-neighbor aggregation is a ``groupBy().min()`` — Spark's partial
+  (map-side) aggregation already collapses hot keys before shuffle;
+* the per-round neighbor join broadcasts a **hot-node dictionary**: the
+  top-K highest-degree nodes' current minima ship as a broadcast map,
+  so hot-key rows resolve map-side and never shuffle;
+* AQE skew-join splitting stays on for the residual joins.
+
+Driver loop uses ``localCheckpoint`` per round to cut lineage (the
+iterative-algorithm pattern shared with the frame engine's closure
+paths).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 50
+
+
+def _nbrs(edges: DataFrame) -> DataFrame:
+    """Undirected adjacency (n, x), self-loops removed."""
+    fwd = edges.select(F.col("src").alias("n"), F.col("dst").alias("x"))
+    rev = edges.select(F.col("dst").alias("n"), F.col("src").alias("x"))
+    return fwd.unionAll(rev).filter(F.col("n") != F.col("x")).distinct()
+
+
+def _min_nbr(nbrs: DataFrame) -> DataFrame:
+    """m(n) = min over neighbors and self (map-side combine collapses
+    hot keys)."""
+    return (
+        nbrs.groupBy("n")
+        .agg(F.min("x").alias("mn"))
+        .select("n", F.least(F.col("n"), F.col("mn")).alias("m"))
+    )
+
+
+def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
+                hot_k: int) -> DataFrame:
+    """One star round: connect (a subset of) neighbors to the group
+    minimum.  Hot nodes' minima resolve via a broadcast dictionary."""
+    cond = (F.col("x") > F.col("n")) if large else (F.col("x") < F.col("n"))
+    part = nbrs.filter(cond)
+
+    hot = (
+        nbrs.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg")).limit(hot_k)
+        .join(minn, "n")
+        .select("n", "m")
+    )
+    hot_rows = hot.collect()
+    if hot_rows:
+        hot_map = F.create_map(
+            *[F.lit(v) for row in hot_rows for v in (row["n"], row["m"])]
+        )
+        part = part.withColumn("__hm", hot_map.getItem(F.col("n")))
+        resolved = part.filter(F.col("__hm").isNotNull()).select(
+            F.col("x").alias("src"), F.col("__hm").alias("dst")
+        )
+        rest = part.filter(F.col("__hm").isNull()).drop("__hm")
+    else:
+        resolved = None
+        rest = part
+
+    joined = rest.join(
+        minn.withColumnRenamed("n", "__jn"), F.col("n") == F.col("__jn")
+    ).select(F.col("x").alias("src"), F.col("m").alias("dst"))
+    out = joined if resolved is None else joined.unionAll(resolved)
+    if not large:
+        out = out.unionAll(
+            minn.select(F.col("n").alias("src"), F.col("m").alias("dst"))
+        )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(edges: DataFrame, hot_k: int = 64) -> DataFrame:
+    """(node, component) for every node in ``edges`` (src/dst string
+    columns); component = lexicographic minimum of the component."""
+    cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
+        .distinct().localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(MAX_ROUNDS):
+        nbrs = _nbrs(cur)
+        minn = _min_nbr(nbrs)
+        cur = _apply_star(nbrs, minn, large=True, hot_k=hot_k)
+        nbrs = _nbrs(cur)
+        minn = _min_nbr(nbrs)
+        cur = _apply_star(nbrs, minn, large=False, hot_k=hot_k) \
+            .localCheckpoint(eager=True)
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError("connected components did not converge")
+
+    # after convergence every edge points to the component minimum
+    members = cur.select(F.col("src").alias("node"),
+                         F.col("dst").alias("component"))
+    roots = cur.select(F.col("dst").alias("node"),
+                       F.col("dst").alias("component"))
+    return members.unionAll(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def canonical_entity_map(link_edges: DataFrame, hot_k: int = 64) -> DataFrame:
+    """(node, canonical) where canonical is the component's entity id
+    (prefer ``entity:`` nodes as representatives over mention nodes)."""
+    cc = connected_components(link_edges, hot_k=hot_k)
+    reps = (
+        cc.withColumn(
+            "__pref",
+            F.when(F.col("node").startswith("entity:"), 0).otherwise(1),
+        )
+        .groupBy("component")
+        .agg(F.min(F.struct("__pref", "node")).alias("rep"))
+        .select("component", F.col("rep")["node"].alias("canonical"))
+    )
+    return cc.join(reps, "component").select("node", "canonical")

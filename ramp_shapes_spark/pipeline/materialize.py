@@ -1,0 +1,147 @@
+"""Graph materialization: partitioned triple tables with per-partition
+lineage manifests, metrics, and checkpointed (idempotent) resume.
+
+Layout::
+
+    <root>/data/pbucket=<k>/*.parquet     flattened triple rows
+    <root>/manifests/pbucket_<k>.json     lineage manifest per bucket
+    <root>/metrics.json                   run-level metrics
+
+Triples are partitioned by predicate bucket ``pbucket =
+pmod(xxhash64(p), n_buckets)`` — predicate-sliced consumers (type
+scans, single-relation traversals) prune partitions; the hash spreads
+hot predicates across a fixed bucket count rather than one
+file-per-predicate (predicates are Zipfian too).
+
+A manifest records the bucket's row count, value checksum and the
+input fingerprint that produced it.  Resume semantics: a bucket whose
+manifest exists with the same input fingerprint is skipped; the write
+is atomic-per-bucket (data first, manifest last), so a crashed run
+re-processes only unfinished buckets.  This mirrors an Iceberg-style
+snapshot commit without requiring the Iceberg runtime in this
+container; the writer interface is thin enough to swap
+``format("iceberg")`` in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ramp_shapes_spark.sqlutil import term_key
+
+
+def triple_flat_view(triples: DataFrame) -> DataFrame:
+    """Flatten TERM structs to scalar columns for parquet friendliness."""
+    return triples.select(
+        F.col("s")["kind"].alias("s_kind"), F.col("s")["value"].alias("s_value"),
+        F.col("p").alias("p"),
+        F.col("o")["kind"].alias("o_kind"), F.col("o")["value"].alias("o_value"),
+        F.col("o")["dt"].alias("o_dt"), F.col("o")["lang"].alias("o_lang"),
+    )
+
+
+def materialize_triples(
+    triples: DataFrame,
+    root: str,
+    n_buckets: int = 16,
+    input_fingerprint: str = "",
+    spark: Optional[SparkSession] = None,
+) -> Dict:
+    """Write triples partitioned by predicate bucket with manifests;
+    returns run metrics.  Idempotent per bucket."""
+    spark = spark or triples.sparkSession
+    os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    flat = triple_flat_view(triples).withColumn(
+        "pbucket", F.pmod(F.xxhash64("p"), F.lit(n_buckets)).cast("int")
+    )
+
+    done: List[int] = []
+    todo: List[int] = []
+    for k in range(n_buckets):
+        mpath = os.path.join(root, "manifests", f"pbucket_{k}.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                manifest = json.load(fh)
+            if manifest.get("input_fingerprint") == input_fingerprint:
+                done.append(k)
+                continue
+        todo.append(k)
+
+    metrics: Dict = {
+        "n_buckets": n_buckets,
+        "resumed_buckets": len(done),
+        "written_buckets": 0,
+        "rows_written": 0,
+        "started_at": time.time(),
+    }
+    if todo:
+        pending = flat.filter(F.col("pbucket").isin(todo)).persist()
+        (
+            pending.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pbucket")
+            .parquet(os.path.join(root, "data"))
+        )
+        stats = (
+            pending.groupBy("pbucket")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("s_kind", "s_value", "p", "o_kind",
+                                         "o_value", "o_dt", "o_lang")),
+                    F.lit(0),
+                ).alias("checksum"),
+            )
+            .collect()
+        )
+        pending.unpersist()
+        by_bucket = {row["pbucket"]: row for row in stats}
+        for k in todo:
+            row = by_bucket.get(k)
+            manifest = {
+                "pbucket": k,
+                "rows": row["rows"] if row else 0,
+                "checksum": row["checksum"] if row else 0,
+                "input_fingerprint": input_fingerprint,
+                "written_at": time.time(),
+            }
+            mpath = os.path.join(root, "manifests", f"pbucket_{k}.json")
+            with open(mpath + ".tmp", "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(mpath + ".tmp", mpath)
+            metrics["written_buckets"] += 1
+            metrics["rows_written"] += manifest["rows"]
+
+    metrics["finished_at"] = time.time()
+    with open(os.path.join(root, "metrics.json"), "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    return metrics
+
+
+def read_triples(spark: SparkSession, root: str) -> DataFrame:
+    """Read a materialized triple table back into TERM-struct layout."""
+    flat = spark.read.parquet(os.path.join(root, "data"))
+    term = lambda kind, value, dt, lang: F.struct(  # noqa: E731
+        F.col(kind).alias("kind"), F.col(value).alias("value"),
+        dt.alias("dt"), lang.alias("lang"),
+    )
+    return flat.select(
+        F.monotonically_increasing_id().alias("tid"),
+        F.struct(
+            F.col("s_kind").alias("kind"), F.col("s_value").alias("value"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        ).alias("s"),
+        "p",
+        F.struct(
+            F.col("o_kind").alias("kind"), F.col("o_value").alias("value"),
+            F.col("o_dt").alias("dt"), F.col("o_lang").alias("lang"),
+        ).alias("o"),
+    )
