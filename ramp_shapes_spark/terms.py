@@ -78,9 +78,15 @@ class Term:
         return (self.kind, self.value, self.dt, self.lang)
 
     def key(self) -> str:
-        """Canonical collision-free string key for hashing / group ids."""
+        """Canonical collision-free string key for hashing / group ids.
+
+        Must stay byte-identical to the SQL-side
+        :func:`ramp_shapes_spark.sqlutil.term_key` (nulls encode as
+        ``\\x00``) — python-computed keys join against SQL-computed
+        keys in the vocabulary maps and the cycle resolver.
+        """
         return "\x1f".join(
-            (self.kind, self.value, self.dt or "", self.lang or "")
+            (self.kind, self.value, self.dt or "\x00", self.lang or "\x00")
         )
 
     def n3(self) -> str:
