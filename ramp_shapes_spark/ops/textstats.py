@@ -1,0 +1,104 @@
+"""Text analysis operators: token stats, quality scoring, language
+heuristics, document fingerprinting.  All built-in-function column
+expressions — no Python in the scan path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for"]
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "die", "und"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len_x10k, stopword_x10k)."""
+    toks = tokens_col(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    avg_len = F.when(
+        n_tokens > 0,
+        (n_chars - (n_tokens - 1)).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.floor(avg_len * 10000 + F.lit(0.5)).cast("long")
+        .alias("avg_token_len_x10k"),
+        F.floor(
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens)
+            .otherwise(F.lit(0.0)) * 10000 + F.lit(0.5)
+        ).cast("long").alias("stopword_x10k"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality in [0,1]: length band + stopword presence +
+    alphabetic ratio (C4/Gopher-style filters, deterministic).
+    Returns (doc_id, quality_x10k)."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    alpha_ratio = F.when(
+        F.length(text) > 0, alpha_chars.cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    has_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
+    length_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+    score = (
+        F.when(length_ok, 0.4).otherwise(0.0)
+        + F.when(has_stop, 0.2).otherwise(0.0)
+        + alpha_ratio * 0.4
+    )
+    return docs.select(
+        F.col(id_col),
+        F.floor(score * 10000 + F.lit(0.5)).cast("long").alias("quality_x10k"),
+    )
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language vote; falls back to 'und'.
+    Returns (doc_id, lang_guess)."""
+    toks = tokens_col(F.col(text_col))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            (lang, F.size(F.filter(toks, lambda t: F.array_contains(marr, t))))
+        )
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, n in scores:
+        better = n > best_n
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_n = F.when(better, n).otherwise(best_n)
+    return docs.select(F.col(id_col), best.alias("lang_guess"))
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: minimum token-window hash —
+    (doc_id, fingerprint).  Engine-portable md5 rolling scheme."""
+    toks = tokens_col(F.col(text_col))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+    return docs.select(
+        F.col(id_col), F.array_min(windows).alias("fingerprint")
+    )

@@ -1,0 +1,159 @@
+"""KG pipeline end-to-end tests: determinism invariants, P/R vs the
+reference-semantics oracle, canonicalization, and checkpointed resume.
+
+The precision/recall gate: the pipeline's emitted triples are compared
+against an *oracle* run — the validated pure-Python reference-semantics
+frame/flatten (which passes every reference golden) applied to the same
+extraction graph — plus the relationally recomputed ground-truth
+mentions.  Target P/R ≥ 0.95; the pipeline is deterministic so it
+achieves 1.0 exactly.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ramp_shapes_spark.pipeline.canonicalize import (
+    canonical_entity_map, connected_components,
+)
+from ramp_shapes_spark.pipeline.datagen import (
+    generate_transcripts, ground_truth_mentions,
+)
+from ramp_shapes_spark.pipeline.kgshapes import build_kg_catalog
+from ramp_shapes_spark.pipeline.mentions import (
+    detect_mentions, link_edges, score_links,
+)
+from ramp_shapes_spark.pipeline.run import extraction_triples, run_pipeline
+from ramp_shapes_spark.pyflatten import (
+    deterministic_bnode_generator, flatten_py,
+)
+from ramp_shapes_spark.pyframe import encode_refs, frame_py
+from ramp_shapes_spark.terms import from_row
+
+N_CONV = 24
+N_ENT = 40
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    df = generate_transcripts(spark, N_CONV, n_entities=N_ENT, partitions=4)
+    df = df.persist()
+    df.count()
+    return df
+
+
+def test_datagen_deterministic_and_ordered(spark, turns):
+    again = generate_transcripts(spark, N_CONV, n_entities=N_ENT, partitions=2)
+    joined = turns.alias("a").join(
+        again.alias("b"), ["conv_id", "turn_idx"], "full"
+    )
+    # per-turn text equality under stable (conv_id, turn_idx) ordering,
+    # independent of generation parallelism (the input_hint invariant)
+    diff = joined.filter(
+        F.col("a.text").isNull() | F.col("b.text").isNull()
+        | (F.col("a.text") != F.col("b.text"))
+    )
+    assert diff.count() == 0
+    # turn_idx dense from 0 per conversation
+    bad = (
+        turns.groupBy("conv_id")
+        .agg(F.min("turn_idx").alias("mn"), F.max("turn_idx").alias("mx"),
+             F.count(F.lit(1)).alias("n"))
+        .filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1))
+    )
+    assert bad.count() == 0
+
+
+def test_mention_detection_exact(spark, turns):
+    det = detect_mentions(turns).select(
+        "conv_id", "turn_idx", "surface").distinct()
+    gt = ground_truth_mentions(spark, N_CONV, n_entities=N_ENT) \
+        .select("conv_id", "turn_idx", "surface").distinct()
+    assert det.subtract(gt).count() == 0
+    assert gt.subtract(det).count() == 0
+
+
+def test_connected_components_small(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f2"), ("f2", "a")],
+        "src string, dst string",
+    )
+    cc = {r["node"]: r["component"]
+          for r in connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == cc["f"] == cc["f2"]
+    assert cc["d"] == cc["e"]
+    assert cc["a"] != cc["d"]
+
+
+def test_pipeline_pr_vs_oracle(spark, turns, tmp_path):
+    res = run_pipeline(spark, turns)
+    assert res.frame_errors.count() == 0
+
+    # oracle: pure-python reference-semantics frame+flatten on the same
+    # extraction graph, canonicalized with the same entity map
+    scored = score_links(detect_mentions(turns))
+    ext = extraction_triples(turns, scored)
+    # tid order makes the oracle's set-iteration order line up with the
+    # engine's (both follow dataset insertion order)
+    triples_local = [
+        (from_row(r["s"]), r["p"], from_row(r["o"]))
+        for r in ext.orderBy("tid").collect()
+    ]
+    catalog, turn_shape = build_kg_catalog()
+    values = frame_py(catalog, triples_local, turn_shape)
+    oracle_triples = []
+    for v in values:
+        enc = encode_refs(v)
+        oracle_triples.extend(
+            flatten_py(catalog, turn_shape, enc,
+                       deterministic_bnode_generator(enc["id"]))
+        )
+    node_map = {
+        r["node"]: r["canonical"]
+        for r in canonical_entity_map(link_edges(scored)).collect()
+    }
+    def canon(t):
+        s, p, o = t
+        if o.kind == "iri" and o.value in node_map:
+            o = type(o)("iri", node_map[o.value])
+        return (s.key(), p, o.key())
+    expected = {canon(t) for t in oracle_triples}
+    for node, can in node_map.items():
+        if node.startswith("entity:") and node != can:
+            expected.add((
+                f"iri\x1f{node}\x1f\x00\x1f\x00",
+                "http://ramp-shapes-spark.dev/kg#canonicalEntity",
+                f"iri\x1f{can}\x1f\x00\x1f\x00",
+            ))
+
+    got = {
+        (from_row(r["s"]).key(), r["p"], from_row(r["o"]).key())
+        for r in res.triples.collect()
+    }
+    tp = len(got & expected)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(expected) if expected else 0.0
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"P={precision:.4f} R={recall:.4f} "
+        f"got={len(got)} expected={len(expected)} inter={tp}"
+    )
+
+
+def test_materialize_resume(spark, turns, tmp_path):
+    wd = str(tmp_path / "kg")
+    res1 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1")
+    assert res1.metrics["written_buckets"] == 16
+    assert res1.metrics["resumed_buckets"] == 0
+    # resume: same fingerprint → all buckets skipped
+    res2 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1")
+    assert res2.metrics["written_buckets"] == 0
+    assert res2.metrics["resumed_buckets"] == 16
+    # partial resume: drop two manifests → only those rewritten
+    for k in (3, 7):
+        os.remove(os.path.join(wd, "manifests", f"pbucket_{k}.json"))
+    res3 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1")
+    assert res3.metrics["written_buckets"] == 2
+    assert res3.metrics["resumed_buckets"] == 14
