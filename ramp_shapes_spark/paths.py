@@ -115,23 +115,25 @@ def eval_path(
         frontier = df.select(*keys, "node", "tord")
         result = seen
 
+        def row_key(dfx: DataFrame) -> "F.Column":
+            return F.concat_ws(
+                "\x1e", *[dfx[k] for k in keys], term_key_col(dfx["node"])
+            )
+
         iterations = 0
         while True:
             iterations += 1
             step = eval_path(inner, frontier, keys, triples, reverse)
             if result is not None:
-                new = step.alias("st").join(
-                    result.alias("rs"),
-                    on=(
-                        F.concat_ws("\x1e", *[F.col(f"st.{k}") for k in keys],
-                                    term_key_col(F.col("st.node")))
-                        == F.concat_ws("\x1e", *[F.col(f"rs.{k}") for k in keys],
-                                       term_key_col(F.col("rs.node")))
-                    ),
-                    how="left_anti",
-                ).select(*[F.col(f"st.{k}").alias(k) for k in keys],
-                         F.col("st.node").alias("node"),
-                         F.col("st.tord").alias("tord"))
+                seen_keys = result.select(
+                    row_key(result).alias("__seen_k")
+                ).distinct()
+                new = (
+                    step.withColumn("__k", row_key(step))
+                    .join(seen_keys, F.col("__k") == F.col("__seen_k"),
+                          "left_anti")
+                    .drop("__k")
+                )
             else:
                 new = step
             new = _dedup(new, keys).localCheckpoint(eager=True)
