@@ -241,29 +241,35 @@ def oracle_path_sequence_region() -> str:
 
 
 def lineitem_chain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber"
+    """Per-order chains li:<order>:<pos> --ex:next--> li:<order>:<pos+1>.
+
+    ``pos`` is a row_number within the order — a bijection, so every
+    downstream count depends only on (order size, pos) and is
+    tie-order-independent."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    pos = li.select(
+        "l_orderkey",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("l_orderkey")
+        ).alias("n"),
     )
     li_iri = F.concat(F.lit("li:"), F.col("l_orderkey").cast("string"),
-                      F.lit(":"), F.col("l_linenumber").cast("string"))
-    nxt = li.select(
-        F.col("l_orderkey").alias("ok"),
-        (F.col("l_linenumber") + 1).alias("ln"),
-    )
-    chain = li.join(
-        nxt, (li["l_orderkey"] == nxt["ok"])
-        & (li["l_linenumber"] == nxt["ln"]),
-        "left_semi",
-    )
+                      F.lit(":"), F.col("pos").cast("string"))
     parts = [
-        li.select(_iri(li_iri).alias("s"), F.lit(RDF_TYPE).alias("p"),
-                  _iri(F.lit(EX + "Line")).alias("o")),
-        chain.select(
+        pos.select(_iri(li_iri).alias("s"), F.lit(RDF_TYPE).alias("p"),
+                   _iri(F.lit(EX + "Line")).alias("o")),
+        pos.filter(F.col("pos") < F.col("n")).select(
+            _iri(li_iri).alias("s"),
+            F.lit(EX + "next").alias("p"),
             _iri(F.concat(F.lit("li:"), F.col("l_orderkey").cast("string"),
                           F.lit(":"),
-                          (F.col("l_linenumber") - 1).cast("string"))).alias("s"),
-            F.lit(EX + "next").alias("p"),
-            _iri(li_iri).alias("o"),
+                          (F.col("pos") + 1).cast("string"))).alias("o"),
         ),
     ]
     return _triples(parts)
@@ -298,15 +304,18 @@ def q_path_closure_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_path_closure_chain() -> str:
-    # chain graph: li:o:l -> li:o:(l+1) when both lines exist;
-    # linenumbers are dense from 1, so reachable-from(l) = max_l - l + 1
+    # positions are a per-order bijection → reach(pos) = n - pos + 1
     return """
         SELECT 'li:' || CAST(l_orderkey AS VARCHAR) || ':'
-                     || CAST(l_linenumber AS VARCHAR) AS subject,
-               CAST(mx - l_linenumber + 1 AS BIGINT) AS n_reach
+                     || CAST(pos AS VARCHAR) AS subject,
+               CAST(n - pos + 1 AS BIGINT) AS n_reach
         FROM (
-            SELECT l_orderkey, l_linenumber,
-                   max(l_linenumber) OVER (PARTITION BY l_orderkey) AS mx
+            SELECT l_orderkey,
+                   row_number() OVER (
+                     PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey,
+                              l_extendedprice) AS pos,
+                   count(*) OVER (PARTITION BY l_orderkey) AS n
             FROM lineitem
         )
     """
