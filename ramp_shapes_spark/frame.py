@@ -451,34 +451,46 @@ class FrameEngine:
             pdf = self._eval_property(gate_ok, prop, site_required)
             pdfs.append((prop, pdf))
 
-        # assemble per candidate
+        # assemble per candidate: union all property stats and fold them
+        # back with ONE aggregation + ONE join (a chain of per-property
+        # left joins would grow the logical plan and the shuffle count
+        # linearly in property count)
+        all_props = list(tprops) + list(pdfs)
         acc = gate_ok
+        if all_props:
+            stats = None
+            for i, (prop, pdf) in enumerate(all_props):
+                tagged = pdf.select(
+                    "ckey", F.lit(i).alias("pidx"),
+                    F.struct("ok", "value", "fcode", "fstack").alias("st"),
+                )
+                stats = tagged if stats is None else stats.unionAll(tagged)
+            agg = stats.groupBy("ckey").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("pidx", "st"))
+                ).alias("__pm")
+            ).withColumnRenamed("ckey", "__pmk")
+            acc = gate_ok.join(agg, F.col("ckey") == F.col("__pmk"), "left")
+
         frags: List[Column] = []
         ok_all = F.lit(True)
         fail_code = F.lit(None).cast("int")
         fail_stack = F.lit(None).cast("string")
-        for i, (prop, pdf) in enumerate(list(tprops) + list(pdfs)):
-            a = pdf.select(
-                F.col("ckey").alias(f"__ck{i}"),
-                F.col("ok").alias(f"__ok{i}"),
-                F.col("value").alias(f"__v{i}"),
-                F.col("fcode").alias(f"__fc{i}"),
-                F.col("fstack").alias(f"__fs{i}"),
-            )
-            acc = acc.join(a, F.col("ckey") == F.col(f"__ck{i}"), "left")
-            oki = F.coalesce(F.col(f"__ok{i}"), F.lit(False))
+        for i, (prop, pdf) in enumerate(all_props):
+            st = F.try_element_at(F.col("__pm"), F.lit(i))
+            oki = F.coalesce(st["ok"], F.lit(False))
             ok_all = ok_all & oki
             fail_code = F.when(
                 fail_code.isNotNull(), fail_code
-            ).otherwise(F.when(~oki, F.col(f"__fc{i}")))
+            ).otherwise(F.when(~oki, st["fcode"]))
             fail_stack = F.when(
                 fail_stack.isNotNull(), fail_stack
-            ).otherwise(F.when(~oki, F.col(f"__fs{i}")))
+            ).otherwise(F.when(~oki, st["fstack"]))
             if not prop.transient:
                 frags.append(
                     F.when(
-                        F.col(f"__v{i}").isNotNull(),
-                        F.concat(F.lit(jstr(prop.name) + ":"), F.col(f"__v{i}")),
+                        st["value"].isNotNull(),
+                        F.concat(F.lit(jstr(prop.name) + ":"), st["value"]),
                     )
                 )
 
@@ -556,21 +568,29 @@ class FrameEngine:
         )
         cres = self.compile(prop.value_shape, childcand, childgroups, required)
 
-        magg = cres.matches.groupBy("gid").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.struct("ord", "value")).alias("first_m"),
+        # one aggregation over the union of matches (is_m=1) and
+        # mismatches (is_m=0) — halves the shuffle/analysis cost of the
+        # per-property fold
+        munion = cres.matches.select(
+            "gid", F.lit(True).alias("is_m"), "ord", "value",
+            F.lit(None).cast("int").alias("code"),
+            F.lit(None).cast("string").alias("stack"),
+        ).unionAll(cres.mismatches.select(
+            "gid", F.lit(False).alias("is_m"), "ord",
+            F.lit(None).cast("string").alias("value"), "code", "stack",
+        ))
+        magg = munion.groupBy("gid").agg(
+            F.count(F.when(F.col("is_m"), 1)).alias("n"),
+            F.min(F.when(F.col("is_m"), F.struct("ord", "value"))).alias("first_m"),
             F.try_element_at(
-                F.array_sort(F.collect_list(F.struct("ord"))), F.lit(2)
+                F.array_sort(
+                    F.collect_list(F.when(F.col("is_m"), F.struct("ord")))
+                ), F.lit(2)
             ).alias("second_m"),
+            F.min(F.when(~F.col("is_m"),
+                         F.struct("ord", "code", "stack"))).alias("fm"),
         ).withColumnRenamed("gid", "__mg")
-        mmagg = cres.mismatches.groupBy("gid").agg(
-            F.min(F.struct("ord", "code", "stack")).alias("fm"),
-        ).withColumnRenamed("gid", "__mmg")
-        out = (
-            meta
-            .join(magg, F.col("cgid") == F.col("__mg"), "left")
-            .join(mmagg, F.col("cgid") == F.col("__mmg"), "left")
-        )
+        out = meta.join(magg, F.col("cgid") == F.col("__mg"), "left")
         n = F.coalesce(F.col("n"), F.lit(0))
         fm = F.col("fm")
         second_ord = F.col("second_m")["ord"]

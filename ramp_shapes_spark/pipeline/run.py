@@ -50,61 +50,68 @@ def _lit(col, dt: str) -> F.Column:
     )
 
 
+def _spo(s, p: str, o) -> F.Column:
+    return F.struct(s.alias("s"), F.lit(p).alias("p"), o.alias("o"))
+
+
 def extraction_triples(turns: DataFrame, scored: DataFrame) -> DataFrame:
-    """Relational construction of the extraction graph (tid, s, p, o)."""
+    """Relational construction of the extraction graph (tid, s, p, o).
+
+    One array-explode pass per source table (no N-way union: triples
+    per row are built as an array of (s,p,o) structs and exploded —
+    single scan, no repeated shuffles).  Construction is injective, so
+    no dedup pass is needed.
+    """
     turn_iri = F.concat(F.lit("turn:"), F.col("conv_id"), F.lit(":"),
                         F.col("turn_idx").cast("string"))
     conv_iri = F.concat(F.lit("conv:"), F.col("conv_id"))
 
-    t = turns.select(
-        turn_iri.alias("ti"), conv_iri.alias("ci"),
-        "turn_idx", "role", "tool",
+    ti = _iri(turn_iri)
+    turn_triples = turns.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    _spo(ti, RDF_TYPE, _iri(F.lit(kg("Turn")))),
+                    _spo(ti, kg("inConversation"), _iri(conv_iri)),
+                    _spo(ti, kg("turnIndex"),
+                         _lit(F.col("turn_idx"), XSD + "integer")),
+                    _spo(ti, kg("role"), _lit(F.col("role"), XSD + "string")),
+                ),
+                F.when(
+                    F.col("tool") != "",
+                    F.array(_spo(ti, kg("tool"),
+                                 _lit(F.col("tool"), XSD + "string"))),
+                ).otherwise(F.array().cast(
+                    "array<struct<s:struct<kind:string,value:string,dt:string,lang:string>,"
+                    "p:string,"
+                    "o:struct<kind:string,value:string,dt:string,lang:string>>>"
+                )),
+            )
+        ).alias("t")
     )
-    parts = [
-        t.select(_iri(F.col("ti")).alias("s"), F.lit(RDF_TYPE).alias("p"),
-                 _iri(F.lit(kg("Turn"))).alias("o")),
-        t.select(_iri(F.col("ti")).alias("s"),
-                 F.lit(kg("inConversation")).alias("p"),
-                 _iri(F.col("ci")).alias("o")),
-        t.select(_iri(F.col("ti")).alias("s"),
-                 F.lit(kg("turnIndex")).alias("p"),
-                 _lit(F.col("turn_idx"), XSD + "integer").alias("o")),
-        t.select(_iri(F.col("ti")).alias("s"), F.lit(kg("role")).alias("p"),
-                 _lit(F.col("role"), XSD + "string").alias("o")),
-        t.filter(F.col("tool") != "").select(
-            _iri(F.col("ti")).alias("s"), F.lit(kg("tool")).alias("p"),
-            _lit(F.col("tool"), XSD + "string").alias("o")),
-    ]
 
-    m_turn_iri = F.concat(F.lit("turn:"), F.col("conv_id"), F.lit(":"),
-                          F.col("turn_idx").cast("string"))
-    mnode = F.concat(F.lit("mo:"), F.col("conv_id"), F.lit(":"),
-                     F.col("turn_idx").cast("string"), F.lit(":"),
-                     F.col("start").cast("string"))
-    m = scored.select(
-        m_turn_iri.alias("ti"), mnode.alias("mi"),
-        "entity_id", "surface", "score",
+    mnode = _iri(F.concat(F.lit("mo:"), F.col("conv_id"), F.lit(":"),
+                          F.col("turn_idx").cast("string"), F.lit(":"),
+                          F.col("start").cast("string")))
+    mention_triples = scored.select(
+        F.explode(
+            F.array(
+                _spo(_iri(turn_iri), kg("mentions"), mnode),
+                _spo(mnode, RDF_TYPE, _iri(F.lit(kg("Mention")))),
+                _spo(mnode, kg("entity"), _iri(F.col("entity_id"))),
+                _spo(mnode, kg("surface"),
+                     _lit(F.col("surface"), XSD + "string")),
+                _spo(mnode, kg("score"),
+                     _lit(F.round(F.col("score"), 4), XSD + "double")),
+            )
+        ).alias("t")
     )
-    parts.extend([
-        m.select(_iri(F.col("ti")).alias("s"), F.lit(kg("mentions")).alias("p"),
-                 _iri(F.col("mi")).alias("o")),
-        m.select(_iri(F.col("mi")).alias("s"), F.lit(RDF_TYPE).alias("p"),
-                 _iri(F.lit(kg("Mention"))).alias("o")),
-        m.select(_iri(F.col("mi")).alias("s"), F.lit(kg("entity")).alias("p"),
-                 _iri(F.col("entity_id")).alias("o")),
-        m.select(_iri(F.col("mi")).alias("s"), F.lit(kg("surface")).alias("p"),
-                 _lit(F.col("surface"), XSD + "string").alias("o")),
-        m.select(_iri(F.col("mi")).alias("s"), F.lit(kg("score")).alias("p"),
-                 _lit(F.round(F.col("score"), 4), XSD + "double").alias("o")),
-    ])
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return (
-        out.dropDuplicates(["s", "p", "o"])
-        .withColumn("tid", F.monotonically_increasing_id())
-        .select("tid", "s", "p", "o")
+    out = turn_triples.unionAll(mention_triples)
+    return out.select(
+        F.monotonically_increasing_id().alias("tid"),
+        F.col("t")["s"].alias("s"), F.col("t")["p"].alias("p"),
+        F.col("t")["o"].alias("o"),
     )
 
 
