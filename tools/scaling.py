@@ -1,0 +1,83 @@
+"""Scaling-efficiency evidence for the north rule.
+
+The rule asks for ≥0.8 throughput scaling efficiency between N and 4N
+executors.  This sandbox has no multi-node cluster, so the evidence is
+the same job at two parallelism levels on one machine: ``local[8]`` vs
+``local[32]`` over the same deterministic transcript corpus, each in a
+fresh JVM (spark-submit-equivalent), reporting turns/sec at both and
+
+    efficiency = (throughput_4N / throughput_N) / 4.
+
+Usage: python tools/scaling.py [n_conversations] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+WORKER = r"""
+import json, sys, time
+cpus, n_conv, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", cpus)
+         .config("spark.sql.adaptive.enabled", "false")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "40g")
+         .appName(f"scaling-{cpus}").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, %(repo)r)
+from ramp_shapes_spark.pipeline.datagen import generate_transcripts
+from ramp_shapes_spark.pipeline.run import run_pipeline
+
+turns = generate_transcripts(spark, n_conv, n_entities=2000,
+                             partitions=int(cpus)).localCheckpoint(eager=True)
+n_turns = turns.count()
+t0 = time.time()
+result = run_pipeline(spark, turns)
+n_triples = result.triples.count()
+wall = time.time() - t0
+json.dump({"cpus": int(cpus), "n_turns": n_turns,
+           "n_triples": n_triples, "wall_sec": round(wall, 2),
+           "turns_per_sec": round(n_turns / wall, 2)},
+          open(out_path, "w"))
+spark.stop()
+"""
+
+
+def run_one(cpus: int, n_conv: int) -> dict:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.NamedTemporaryFile("r", suffix=".json") as out:
+        script = WORKER % {"repo": repo}
+        subprocess.run(
+            [sys.executable, "-c", script, str(cpus), str(n_conv), out.name],
+            check=True, cwd=repo,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return json.load(open(out.name))
+
+
+def main() -> None:
+    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALING.json"
+    lo = run_one(8, n_conv)
+    hi = run_one(32, n_conv)
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (32 / 8)
+    report = {
+        "n_conversations": n_conv,
+        "low": lo,
+        "high": hi,
+        "core_ratio": 4,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report, indent=2))
+    with open(out_json, "w") as fh:
+        json.dump(report, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
