@@ -138,6 +138,14 @@ class FrameEngine:
                  triples: DataFrame, max_fixpoint_iterations: int = 64,
                  max_list_length: int = 10_000) -> None:
         self.spark = spark
+        # AQE re-plans every materialization; with this engine's many
+        # small lineage-cut jobs that costs more than it saves and has
+        # shown stage-scheduling stalls in local mode — disable at the
+        # session level (runtime conf; engine results are identical)
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        except Exception:
+            pass
         self.catalog = catalog
         self.triples = triples
         self.recursive_ids = catalog.recursive_shape_ids()

@@ -91,6 +91,10 @@ def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
 def connected_components(edges: DataFrame, hot_k: int = 64) -> DataFrame:
     """(node, component) for every node in ``edges`` (src/dst string
     columns); component = lexicographic minimum of the component."""
+    try:
+        edges.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+    except Exception:
+        pass
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
         .distinct().localCheckpoint(eager=True)
     prev_sig = None
