@@ -135,7 +135,7 @@ def q_cc_customer_chains(spark, sf_dir):
         .select(nid.alias("src"),
                 F.concat(F.lit("c:"), F.col("nk").cast("string")).alias("dst"))
     )
-    return connected_components(edges)
+    return connected_components(edges, hot_k=0)
 
 
 def q_kg_turn_records(spark, sf_dir):

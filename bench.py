@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # transcript corpus scale for the pipeline throughput measurement
-N_CONV = int(os.environ.get("SPARK_GRAFT_NCONV", "6000"))
+N_CONV = int(os.environ.get("SPARK_GRAFT_NCONV", "3000"))
 
 
 def main() -> None:
@@ -65,7 +65,7 @@ def main() -> None:
     allq = entrymod.queries()
     for name in [
         "frame_supplier_record", "frame_nation_suppliers_set",
-        "frame_order_optional_union", "path_closure_chain",
+        "path_closure_chain",
         "dedup_exact", "minhash_pairs", "token_stats",
         "ann_brute_topk", "ann_ivf_topk", "cc_customer_chains",
         "events_sessions",

@@ -168,7 +168,11 @@ class FrameEngine:
 
         Equivalent of ``frame({shape, dataset})`` (frame.ts:36-61) with
         ``candidates`` defaulting to all subjects ∪ objects.
+
+        The error channel is per-call: each invocation starts a fresh
+        accumulator (one engine instance can frame several roots).
         """
+        self._errors = []
         uni = self.universe()
         cand = uni.select(
             F.lit("r").alias("gid"),

@@ -57,6 +57,16 @@ def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
     cond = (F.col("x") > F.col("n")) if large else (F.col("x") < F.col("n"))
     part = nbrs.filter(cond)
 
+    if hot_k <= 0:
+        joined = part.join(
+            minn.withColumnRenamed("n", "__jn"), F.col("n") == F.col("__jn")
+        ).select(F.col("x").alias("src"), F.col("m").alias("dst"))
+        if not large:
+            joined = joined.unionAll(
+                minn.select(F.col("n").alias("src"), F.col("m").alias("dst"))
+            )
+        return joined.filter(F.col("src") != F.col("dst")).distinct()
+
     hot = (
         nbrs.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
         .orderBy(F.desc("deg")).limit(hot_k)
