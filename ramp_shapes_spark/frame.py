@@ -298,9 +298,11 @@ class FrameEngine:
     # ------------------------------------------------------------------
     # resource / literal (frameNode, frame.ts:496-517; common.ts:21-92)
     # ------------------------------------------------------------------
-    def _compile_node(self, shape, cand: DataFrame, groups: DataFrame) -> Result:
-        f = F.col("focus")
-        checks: List[Tuple[Column, int]] = []  # (failure condition, code)
+    @staticmethod
+    def _node_checks(shape, f: Column) -> Tuple[Column, Column]:
+        """matchesTerm (common.ts:21-92): (fail condition, first failing
+        check's error code) as column expressions over a TERM ``f``."""
+        checks: List[Tuple[Column, int]] = []
         if isinstance(shape, ResourceShape):
             checks.append((~is_resource_col(f), ERR_TERM_TYPE))
             if shape.only_named:
@@ -326,6 +328,11 @@ class FrameEngine:
             code = F.when(cond, F.lit(c)).otherwise(code)
         for cond, _ in checks:
             fail = fail | cond
+        return fail, code
+
+    def _compile_node(self, shape, cand: DataFrame, groups: DataFrame) -> Result:
+        f = F.col("focus")
+        fail, code = self._node_checks(shape, f)
 
         matched = cand.filter(~fail)
         failed = cand.filter(fail).withColumn("code", code)
@@ -387,7 +394,7 @@ class FrameEngine:
         if dt == XSD_BOOLEAN:
             return F.when(f["value"] != "false", F.lit("true")).otherwise(F.lit("false"))
         if dt in INTEGER_TYPES:
-            return F.col("focus")["value"].cast(LongType()).cast(StringType())
+            return f["value"].cast(LongType()).cast(StringType())
         if dt in FRACTIONAL_TYPES:
             return f["value"].cast("double").cast(StringType())
         # no datatype / unconvertible datatype: value stays a term
@@ -396,6 +403,191 @@ class FrameEngine:
     # ------------------------------------------------------------------
     # record (frameRecord + frameProperties, frame.ts:207-316)
     # ------------------------------------------------------------------
+    def subject_props(self) -> DataFrame:
+        """Per-subject gathered property map: skey → map<pred,
+        array<struct<tid,o>>> — the relational analog of the
+        reference's SP hash index (rdf-dataset.ts:44-50), computed with
+        ONE two-level aggregation for the whole engine.  Leaf-valued
+        record properties evaluate against this map as pure codegen
+        array expressions (zero joins per property)."""
+        if getattr(self, "_sp_gather", None) is None:
+            by_p = self.triples.groupBy(
+                term_key(F.col("s")).alias("skey"), "p"
+            ).agg(F.collect_list(F.struct("tid", "o")).alias("objs"))
+            self._sp_gather = by_p.groupBy("skey").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("p", "objs"))
+                ).alias("__pmap")
+            ).localCheckpoint(eager=False)
+        return self._sp_gather
+
+    def _fast_kind(self, prop: Property) -> Optional[Tuple[str, Shape, Shape]]:
+        """Classify a property for the gathered fast path.
+
+        Returns (kind, wrapper_shape, leaf_shape) with kind in
+        {'plain', 'optional', 'set'} when the property is a
+        forward-predicate (or self) path whose value is a leaf
+        resource/literal shape — optionally under Optional/Set — and
+        no ref collector targets it; None → general join path.
+        """
+        if not (isinstance(prop.path, PredicatePath) or is_self_path(prop.path)):
+            return None
+
+        def leaf_ok(sid) -> Optional[Shape]:
+            s = self.catalog.get(sid)
+            if not isinstance(s, (ResourceShape, LiteralShape)):
+                return None
+            if isinstance(s, ResourceShape) and s.vocabulary is not None:
+                return None  # vocabulary misses need the error channel
+            if sid.key() in self._collectors:
+                return None  # computed-property reference capture
+            return s
+
+        direct = leaf_ok(prop.value_shape)
+        if direct is not None:
+            return ("plain", direct, direct)
+        wrapper = self.catalog.get(prop.value_shape)
+        if isinstance(wrapper, (OptionalShape, SetShape)) and \
+                not is_self_path(prop.path):
+            leaf = leaf_ok(wrapper.item_shape)
+            if leaf is not None:
+                kind = "optional" if isinstance(wrapper, OptionalShape) else "set"
+                return (kind, wrapper, leaf)
+        return None
+
+    def _fast_stat(self, prop: Property, kind: str, wrapper: Shape,
+                   leaf: Shape, cstk: Column) -> Column:
+        """Property stat struct (ok, value, fcode, fstack) computed as
+        array expressions over the gathered ``__pmap`` column —
+        replicates _eval_property + leaf/optional/set semantics with
+        zero joins."""
+        if is_self_path(prop.path):
+            objs = F.array(F.struct(F.col("ord").alias("tid"),
+                                    F.col("focus").alias("o")))
+        else:
+            objs = F.coalesce(
+                F.try_element_at(F.col("__pmap"), F.lit(prop.path.predicate)),
+                F.array().cast(
+                    "array<struct<tid:bigint,"
+                    "o:struct<kind:string,value:string,dt:string,lang:string>>>"
+                ),
+            )
+        objs = F.array_sort(objs)  # dataset order (tid is first field)
+
+        def fail_of(x):
+            cond, _ = self._node_checks(leaf, x["o"])
+            return cond
+
+        def code_of(x):
+            _, code = self._node_checks(leaf, x["o"])
+            return code
+
+        matched = F.filter(objs, lambda x: ~fail_of(x))
+        if leaf.lenient:
+            # lenient leaf: mismatching candidates silently skipped
+            failed = F.array().cast(
+                "array<struct<tid:bigint,"
+                "o:struct<kind:string,value:string,dt:string,lang:string>>>"
+            )
+        else:
+            failed = F.filter(objs, fail_of)
+        n = F.size(matched)
+        first_m = F.try_element_at(matched, F.lit(1))
+        second_tid = F.try_element_at(matched, F.lit(2))["tid"]
+        fb = F.try_element_at(failed, F.lit(1))
+
+        def leaf_frame(term: Column, with_edge: bool) -> Column:
+            base = F.concat(
+                F.lit('{"shape":' + _shape_display(leaf)),
+                F.lit(',"edge":' + jstr(prop.name)) if with_edge else F.lit(""),
+                F.lit(',"focus":'), json_quote_expr(n3_col(term)), F.lit("}"),
+            )
+            return base
+
+        rec_stack = F.concat(F.lit("["), cstk, F.lit("]"))
+
+        if kind == "plain":
+            mism_first = fb.isNotNull() & ((n < 2) | (fb["tid"] < second_tid))
+            ok = fb.isNull() & (n == 1)
+            value = F.when(n == 1, self._node_value_expr(leaf, first_m["o"]))
+            fcode = (
+                F.when(mism_first, code_of(fb))
+                .when(n == 0, F.lit(ERR_NO_PROPERTY_MATCHES))
+                .when(n >= 2, F.lit(ERR_MULTIPLE_PROPERTY_MATCHES))
+            )
+            fstack = F.when(
+                mism_first,
+                F.concat(F.lit("["), cstk, F.lit(","),
+                         leaf_frame(fb["o"], True), F.lit("]")),
+            ).otherwise(rec_stack)
+        elif kind == "optional":
+            oframe = F.lit(
+                '{"shape":{"type":"optional"},"edge":' + jstr(prop.name) + '}'
+            )
+            mism = F.lit(False) if wrapper.lenient else fb.isNotNull()
+            mism_first = mism & ((n < 2) | (fb["tid"] < second_tid))
+            ok = (n <= 1) & (F.lit(wrapper.lenient) | fb.isNull())
+            value = F.when(n == 1, self._node_value_expr(leaf, first_m["o"]))
+            if wrapper.empty_is_null:
+                value = F.coalesce(value, F.lit("null"))
+            fcode = (
+                F.when(mism_first, code_of(fb))
+                .when(n >= 2, F.lit(ERR_MULTIPLE_PROPERTY_MATCHES))
+            )
+            fstack = F.when(
+                mism_first,
+                F.concat(F.lit("["), cstk, F.lit(","), oframe, F.lit(","),
+                         leaf_frame(fb["o"], False), F.lit("]")),
+            ).otherwise(rec_stack)
+        else:  # set
+            sframe = F.lit(
+                '{"shape":{"type":"set"},"edge":' + jstr(prop.name) + '}'
+            )
+            min_c = wrapper.min_count or 0
+            max_c = wrapper.max_count
+            bounds_ok = (n >= min_c) & (
+                F.lit(True) if max_c is None else (n <= max_c)
+            )
+            inner_ok = fb.isNull() & bounds_ok
+            ok = inner_ok
+            value = F.when(
+                inner_ok,
+                F.concat(
+                    F.lit("["),
+                    F.array_join(
+                        F.transform(
+                            matched,
+                            lambda x: self._node_value_expr(leaf, x["o"]),
+                        ), ",",
+                    ),
+                    F.lit("]"),
+                ),
+            )
+            if wrapper.lenient:
+                # lenient set: a failing set yields nothing → the
+                # property has no matches (code 203 at the record frame)
+                fcode = F.when(~inner_ok, F.lit(ERR_NO_PROPERTY_MATCHES))
+                fstack = rec_stack
+            else:
+                fcode = (
+                    F.when(fb.isNotNull(), code_of(fb))
+                    .when(n < min_c, F.lit(ERR_MIN_COUNT))
+                    .otherwise(F.when(
+                        F.lit(max_c is not None) & (n > (max_c or 0)),
+                        F.lit(ERR_MAX_COUNT)))
+                )
+                fstack = F.when(
+                    fb.isNotNull(),
+                    F.concat(F.lit("["), cstk, F.lit(","), sframe, F.lit(","),
+                             leaf_frame(fb["o"], False), F.lit("]")),
+                ).otherwise(
+                    F.concat(F.lit("["), cstk, F.lit(","), sframe, F.lit("]"))
+                )
+        return F.struct(
+            ok.alias("ok"), value.cast("string").alias("value"),
+            fcode.cast("int").alias("fcode"), fstack.alias("fstack"),
+        )
+
     def _compile_record(self, shape: RecordShape, cand: DataFrame,
                         groups: DataFrame, required: bool) -> Result:
         site = self._next_site()
@@ -424,54 +616,103 @@ class FrameEngine:
             rc = rc.withColumn("refk", F.col("ckey"))
             self._activate_collectors(shape)
 
+        # classify properties: gathered fast path vs general join path
+        fast_t = [self._fast_kind(p) for p in shape.type_properties]
+        fast_r = [self._fast_kind(p) for p in shape.properties]
+        needs_gather = any(x is not None for x in fast_t + fast_r)
+        if needs_gather:
+            sp = self.subject_props().withColumnRenamed("skey", "__sk")
+            rc = rc.join(sp, F.col("fkey") == F.col("__sk"), "left") \
+                .drop("__sk")
         rc = rc.localCheckpoint(eager=False)
         gated = required or bool(shape.type_properties)
+        cstk_rc = F.col("cstk")
 
         # --- type properties (the gate, frame.ts:248-253)
-        tfails: List[DataFrame] = []
-        tprops: List[Tuple[Property, DataFrame]] = []
-        work = rc
-        for prop in shape.type_properties:
-            pdf = self._eval_property(work, prop, required)
-            tprops.append((prop, pdf))
-        gate_ok = work
+        gate_ok = rc
         gate_fail_diag: Optional[DataFrame] = None
-        for prop, pdf in tprops:
-            gate_ok = gate_ok.join(
-                pdf.filter(F.col("ok")).select(F.col("ckey").alias("__gck")),
-                F.col("ckey") == F.col("__gck"), "left_semi"
-            )
-            fail = pdf.filter(~F.col("ok")).select(
-                "ckey", "fcode", "fstack", "ford"
-            )
-            tfails.append(fail)
-        # first failing type property (declaration order) per candidate
-        if tfails:
-            gf = tfails[0]
-            for nxt in tfails[1:]:
-                gf = gf.unionAll(nxt.join(
-                    gf.select(F.col("ckey").alias("__fck")),
-                    F.col("ckey") == F.col("__fck"), "left_anti"))
-            gate_fail_diag = gf
+        tstats: List[Tuple[Property, object]] = []
+        fast_gate_conds: List[Column] = []
+        slow_gate_fail: List[DataFrame] = []
+        for prop, fk in zip(shape.type_properties, fast_t):
+            if fk is not None:
+                st = self._fast_stat(prop, fk[0], fk[1], fk[2], cstk_rc)
+                tstats.append((prop, ("fast", st)))
+                fast_gate_conds.append(st)
+            else:
+                pdf = self._eval_property(rc, prop, required)
+                tstats.append((prop, ("slow", pdf)))
+                slow_gate_fail.append(pdf)
+        if fast_gate_conds:
+            cond = F.lit(True)
+            for st in fast_gate_conds:
+                cond = cond & st["ok"]
+            gate_ok = gate_ok.filter(cond)
+        for prop, entry in tstats:
+            if entry[0] == "slow":
+                pdf = entry[1]
+                gate_ok = gate_ok.join(
+                    pdf.filter(F.col("ok")).select(
+                        F.col("ckey").alias("__gck")),
+                    F.col("ckey") == F.col("__gck"), "left_semi",
+                )
 
-        gate_ok = gate_ok.localCheckpoint(eager=False)
+        # gate-failure diagnostics: first failing type property in
+        # declaration order (fast conds inline; slow via join)
+        if shape.type_properties:
+            gf_code = F.lit(None).cast("int")
+            gf_stack = F.lit(None).cast("string")
+            gfail = rc
+            for i, (prop, entry) in enumerate(tstats):
+                if entry[0] == "fast":
+                    st = entry[1]
+                    gf_code = F.when(gf_code.isNotNull(), gf_code) \
+                        .otherwise(F.when(~st["ok"], st["fcode"]))
+                    gf_stack = F.when(gf_stack.isNotNull(), gf_stack) \
+                        .otherwise(F.when(~st["ok"], st["fstack"]))
+                else:
+                    pdf = entry[1].select(
+                        F.col("ckey").alias(f"__gk{i}"),
+                        F.col("ok").alias(f"__go{i}"),
+                        F.col("fcode").alias(f"__gc{i}"),
+                        F.col("fstack").alias(f"__gs{i}"),
+                    )
+                    gfail = gfail.join(
+                        pdf, F.col("ckey") == F.col(f"__gk{i}"), "left")
+                    bad = ~F.coalesce(F.col(f"__go{i}"), F.lit(False))
+                    gf_code = F.when(gf_code.isNotNull(), gf_code) \
+                        .otherwise(F.when(bad, F.col(f"__gc{i}")))
+                    gf_stack = F.when(gf_stack.isNotNull(), gf_stack) \
+                        .otherwise(F.when(bad, F.col(f"__gs{i}")))
+            gate_fail_diag = gfail.withColumn("__gfc", gf_code) \
+                .withColumn("__gfs", gf_stack) \
+                .filter(F.col("__gfc").isNotNull()) \
+                .select("gid", "fkey", "focus", "ord", "gord",
+                        F.col("__gfc").alias("code"),
+                        F.col("__gfs").alias("stack"))
+
+        if any(e[0] == "slow" for _, e in tstats):
+            gate_ok = gate_ok.localCheckpoint(eager=False)
 
         # --- regular properties (strict once the gate matched)
         site_required = required or bool(shape.type_properties)
-        pdfs: List[Tuple[Property, DataFrame]] = []
-        for prop in shape.properties:
-            pdf = self._eval_property(gate_ok, prop, site_required)
-            pdfs.append((prop, pdf))
+        rstats: List[Tuple[Property, object]] = []
+        for prop, fk in zip(shape.properties, fast_r):
+            if fk is not None:
+                rstats.append((prop, ("fast", self._fast_stat(
+                    prop, fk[0], fk[1], fk[2], cstk_rc))))
+            else:
+                pdf = self._eval_property(gate_ok, prop, site_required)
+                rstats.append((prop, ("slow", pdf)))
 
-        # assemble per candidate: union all property stats and fold them
-        # back with ONE aggregation + ONE join (a chain of per-property
-        # left joins would grow the logical plan and the shuffle count
-        # linearly in property count)
-        all_props = list(tprops) + list(pdfs)
+        # fold: slow stats union into one map join; fast stats inline
+        all_stats = tstats + rstats
+        slow_entries = [(i, e[1]) for i, (_, e) in enumerate(all_stats)
+                        if e[0] == "slow"]
         acc = gate_ok
-        if all_props:
+        if slow_entries:
             stats = None
-            for i, (prop, pdf) in enumerate(all_props):
+            for i, pdf in slow_entries:
                 tagged = pdf.select(
                     "ckey", F.lit(i).alias("pidx"),
                     F.struct("ok", "value", "fcode", "fstack").alias("st"),
@@ -488,9 +729,13 @@ class FrameEngine:
         ok_all = F.lit(True)
         fail_code = F.lit(None).cast("int")
         fail_stack = F.lit(None).cast("string")
-        for i, (prop, pdf) in enumerate(all_props):
-            st = F.try_element_at(F.col("__pm"), F.lit(i))
-            oki = F.coalesce(st["ok"], F.lit(False))
+        for i, (prop, entry) in enumerate(all_stats):
+            if entry[0] == "fast":
+                st = entry[1]
+                oki = st["ok"]
+            else:
+                st = F.try_element_at(F.col("__pm"), F.lit(i))
+                oki = F.coalesce(st["ok"], F.lit(False))
             ok_all = ok_all & oki
             fail_code = F.when(
                 fail_code.isNotNull(), fail_code
@@ -533,13 +778,7 @@ class FrameEngine:
 
         mism = nonres
         if gate_fail_diag is not None:
-            gf = rc.join(
-                gate_fail_diag.withColumnRenamed("ckey", "__dck"),
-                F.col("ckey") == F.col("__dck")).select(
-                "gid", "fkey", "focus", "ord", "gord",
-                F.col("fcode").alias("code"), F.col("fstack").alias("stack"),
-            )
-            mism = mism.unionAll(gf)
+            mism = mism.unionAll(gate_fail_diag)
         mism = mism.unionAll(
             prop_fail.select("gid", "fkey", "focus", "ord", "gord",
                              "code", "stack")
