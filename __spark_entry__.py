@@ -151,7 +151,7 @@ def q_kg_turn_records(spark, sf_dir):
     scored = score_links(detect_mentions(turns))
     ext = extraction_triples(turns, scored).localCheckpoint(eager=True)
     catalog, turn_shape = build_kg_catalog()
-    res = FrameEngine(spark, catalog, ext).frame(turn_shape)
+    res = FrameEngine(spark, catalog, ext, diagnostics=False).frame(turn_shape)
     return res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
         F.get_json_object("value", "$.idx").cast("long").alias("idx"),

@@ -33,6 +33,12 @@ def main() -> None:
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        # coalesce tiny shuffle stages down to size, not to core count —
+        # per-task fixed cost dominates micro-stages; at 100 TB the same
+        # conf leaves large stages wide (they hit advisory size first)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -25,9 +25,12 @@ values are heterogeneous (anyOf unions mix scalars and arrays;
 recursive shapes have unbounded depth), so no single Spark StructType
 can hold every shape's value.  The JSON is assembled with JVM string
 concatenation over ``to_json``-escaped fragments — all of it inside
-whole-stage codegen; no Python UDF touches the match hot path.  For
-homogeneous shapes :func:`ramp_shapes_spark.schema.shape_struct_type`
-gives a typed projection via ``from_json``.
+whole-stage codegen; no Python UDF touches the match hot path.
+
+Scalar expressions are composed as SQL **strings** (zero Py4J traffic;
+see :mod:`ramp_shapes_spark.sqlutil`) and materialized with one
+``selectExpr``/``F.expr`` per DataFrame boundary — plan construction is
+pure Python until the handful of DataFrame calls.
 
 Errors are *data*, not exceptions (errors.ts:16-59): mismatching
 candidates under a strict/type-gated context produce rows in an error
@@ -43,9 +46,6 @@ from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
-)
 
 from .dataset import all_candidate_terms
 from .paths import eval_path
@@ -55,8 +55,8 @@ from .shapes import (
     ShapeCatalog, ShapeID, is_self_path,
 )
 from .sqlutil import (
-    is_resource_col, json_quote_expr, jstr, n3_col, term_eq_const,
-    term_json_col, term_key,
+    EMPTY_OBJS_SQL, NULL_TERM_SQL, jstr, s_is_resource, s_json_quote, s_n3,
+    s_str, s_term_eq_const, s_term_json, s_term_key,
 )
 from .terms import (
     RDF_FIRST, RDF_LANG_STRING, RDF_NIL, RDF_REST, Term,
@@ -86,6 +86,7 @@ ERR_LITERAL_LANGUAGE = 224
 ERR_VOCABULARY = 0  # reference throws a plain Error for vocabulary misses
 
 _BIG_ORD = 2 ** 62
+_SEP = s_str(chr(30))  # unit-separator literal for composite keys
 
 MATCH_FIELDS = "gid string, fkey string, focus struct<kind:string,value:string,dt:string,lang:string>, vkey string, ord long, value string"
 MISMATCH_FIELDS = "gid string, fkey string, focus struct<kind:string,value:string,dt:string,lang:string>, ord long, gord long, code int, stack string"
@@ -136,18 +137,17 @@ class FrameEngine:
 
     def __init__(self, spark: SparkSession, catalog: ShapeCatalog,
                  triples: DataFrame, max_fixpoint_iterations: int = 64,
-                 max_list_length: int = 10_000) -> None:
+                 max_list_length: int = 10_000,
+                 diagnostics: bool = True) -> None:
+        """``diagnostics=False`` keeps the error channel's structure and
+        codes but replaces the shape-STACK string expressions (the bulk
+        of every compiled plan's expression text) with NULL — pipelines
+        that route errors by code but never render stacks compile and
+        run measurably faster.  Fixture comparisons need the default."""
         self.spark = spark
-        # AQE re-plans every materialization; with this engine's many
-        # small lineage-cut jobs that costs more than it saves and has
-        # shown stage-scheduling stalls in local mode — disable at the
-        # session level (runtime conf; engine results are identical)
-        try:
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-        except Exception:
-            pass
         self.catalog = catalog
         self.triples = triples
+        self._diag = diagnostics
         self.recursive_ids = catalog.recursive_shape_ids()
         self.max_fixpoint_iterations = max_fixpoint_iterations
         self.max_list_length = max_list_length
@@ -159,39 +159,48 @@ class FrameEngine:
         self._fix_done = False
         self._collectors: Dict[str, List[DataFrame]] = {}
         self._universe: Optional[DataFrame] = None
+        self._sp_gather: Optional[DataFrame] = None
 
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
-    def frame(self, root: ShapeID, strict: bool = False) -> FrameResult:
+    def frame(self, root: ShapeID, strict: bool = False,
+              ordered: bool = False) -> FrameResult:
         """Frame all candidates of the dataset against ``root``.
 
         Equivalent of ``frame({shape, dataset})`` (frame.ts:36-61) with
         ``candidates`` defaulting to all subjects ∪ objects.
+
+        ``ordered=True`` imposes the reference's candidate iteration
+        order (a global sort) — only fixture comparisons need it;
+        pipeline consumers should leave it off (a total order is a
+        pointless full-data range shuffle at scale).
 
         The error channel is per-call: each invocation starts a fresh
         accumulator (one engine instance can frame several roots).
         """
         self._errors = []
         uni = self.universe()
-        cand = uni.select(
-            F.lit("r").alias("gid"),
-            term_key(F.col("focus")).alias("fkey"),
+        cand = uni.selectExpr(
+            "'r' AS gid",
+            f"{s_term_key('focus')} AS fkey",
             "focus", "ord",
-            F.lit(None).cast("string").alias("refk"),
+            "CAST(NULL AS STRING) AS refk",
         )
         groups = self.spark.createDataFrame(
             [("r", 0, "", None)],
             "gid string, gord long, stk string, edge string",
         )
         res = self.compile(root, cand, groups, required=strict)
-        matches = res.matches.select("focus", "ord", "value").orderBy("ord")
+        matches = res.matches.select("focus", "ord", "value")
+        if ordered:
+            matches = matches.orderBy("ord")
         errors = self._collect_errors()
         return FrameResult(matches=matches, errors=errors)
 
     def universe(self) -> DataFrame:
         if self._universe is None:
-            self._universe = all_candidate_terms(self.triples).localCheckpoint(eager=True)
+            self._universe = all_candidate_terms(self.triples).persist()
         return self._universe
 
     def _collect_errors(self) -> DataFrame:
@@ -217,37 +226,42 @@ class FrameEngine:
             return
         site = self._next_site()
         self._errors.append(
-            mismatches.select(
-                "code", "stack", "gord", "ord", F.lit(site).alias("site")
+            mismatches.selectExpr(
+                "code", "stack", "gord", "ord",
+                f"CAST({site} AS BIGINT) AS site",
             )
         )
 
-    @staticmethod
-    def _stack_col(stk: Column, frame: Column) -> Column:
-        return F.concat(
-            F.lit("["),
-            F.when(stk == "", frame).otherwise(F.concat(stk, F.lit(","), frame)),
-            F.lit("]"),
+    def _s_stack(self, stk: str, frame: str) -> str:
+        """``[stk, frame]`` JSON array assembly (string expr)."""
+        if not self._diag:
+            return "CAST(NULL AS STRING)"
+        return (
+            f"concat('[', CASE WHEN {stk} = '' THEN {frame} "
+            f"ELSE concat({stk}, ',', {frame}) END, ']')"
         )
 
-    @staticmethod
-    def _frame_json(shape: Shape, edge: Column, focus: Optional[Column]) -> Column:
+    def _s_frame_json(self, shape: Shape, edge: Optional[str],
+                      focus: Optional[str]) -> str:
         """One stack frame ``{"shape":…, "edge":…, "focus":…}``.
 
         ``edge`` is the parent-provided JSON-encoded edge fragment
-        column (nullable); ``focus`` a TERM column or None.
+        column/expr (nullable) or None; ``focus`` a TERM expr or None.
         """
-        parts: List[Column] = [F.lit('{"shape":' + "")]
-        base = F.concat(
-            F.lit('{"shape":'), F.lit(_shape_display(shape)),
-            F.when(edge.isNotNull(), F.concat(F.lit(',"edge":'), edge))
-            .otherwise(F.lit("")),
-        )
-        if focus is not None:
-            base = F.concat(
-                base, F.lit(',"focus":'), json_quote_expr(n3_col(focus))
+        if not self._diag:
+            return "''"
+        parts = [s_str('{"shape":' + _shape_display(shape))]
+        if edge is not None:
+            parts.append(
+                f"CASE WHEN {edge} IS NOT NULL "
+                f"THEN concat(',\"edge\":', {edge}) ELSE '' END"
             )
-        return F.concat(base, F.lit("}"))
+        if focus is not None:
+            parts.append(
+                f"concat(',\"focus\":', {s_json_quote(s_n3(focus))})"
+            )
+        parts.append("'}'")
+        return f"concat({', '.join(parts)})"
 
     # ------------------------------------------------------------------
     # dispatch (frameShape, frame.ts:142-205)
@@ -299,106 +313,105 @@ class FrameEngine:
     # resource / literal (frameNode, frame.ts:496-517; common.ts:21-92)
     # ------------------------------------------------------------------
     @staticmethod
-    def _node_checks(shape, f: Column) -> Tuple[Column, Column]:
+    def _s_node_checks(shape, t: str) -> Tuple[str, str]:
         """matchesTerm (common.ts:21-92): (fail condition, first failing
-        check's error code) as column expressions over a TERM ``f``."""
-        checks: List[Tuple[Column, int]] = []
+        check's error code) as SQL expr strings over a TERM expr ``t``."""
+        checks: List[Tuple[str, int]] = []
         if isinstance(shape, ResourceShape):
-            checks.append((~is_resource_col(f), ERR_TERM_TYPE))
+            checks.append((f"NOT {s_is_resource(t)}", ERR_TERM_TYPE))
             if shape.only_named:
-                checks.append((f["kind"] != "iri", ERR_TERM_TYPE))
+                checks.append((f"({t}).kind != 'iri'", ERR_TERM_TYPE))
         else:
-            checks.append((f["kind"] != "lit", ERR_TERM_TYPE))
+            checks.append((f"({t}).kind != 'lit'", ERR_TERM_TYPE))
             if shape.datatype:
                 checks.append((
-                    F.coalesce(f["dt"], F.lit("")) != shape.datatype,
+                    f"coalesce(({t}).dt, '') != {s_str(shape.datatype)}",
                     ERR_LITERAL_DATATYPE,
                 ))
             if shape.language:
                 checks.append((
-                    F.coalesce(f["lang"], F.lit("")) != shape.language,
+                    f"coalesce(({t}).lang, '') != {s_str(shape.language)}",
                     ERR_LITERAL_LANGUAGE,
                 ))
         if shape.value is not None:
-            checks.append((~term_eq_const(f, shape.value), ERR_TERM_VALUE))
+            checks.append((f"NOT {s_term_eq_const(t, shape.value)}",
+                           ERR_TERM_VALUE))
 
-        fail = F.lit(False)
-        code = F.lit(None).cast("int")
-        for cond, c in reversed(checks):
-            code = F.when(cond, F.lit(c)).otherwise(code)
-        for cond, _ in checks:
-            fail = fail | cond
+        fail = "(" + " OR ".join(c for c, _ in checks) + ")"
+        code = "CASE " + " ".join(
+            f"WHEN {c} THEN {code}" for c, code in checks
+        ) + " END"
         return fail, code
 
     def _compile_node(self, shape, cand: DataFrame, groups: DataFrame) -> Result:
-        f = F.col("focus")
-        fail, code = self._node_checks(shape, f)
+        f = "focus"
+        fail, code = self._s_node_checks(shape, f)
 
-        matched = cand.filter(~fail)
-        failed = cand.filter(fail).withColumn("code", code)
+        matched = cand.where(f"NOT {fail}")
 
         # mismatch diagnostics (matchesTerm's first failing check)
-        cg = failed.join(groups, "gid")
-        frame = self._frame_json(shape, F.col("edge"), f)
-        mismatches = cg.select(
-            "gid", "fkey", "focus", "ord", "gord", "code",
-            self._stack_col(F.col("stk"), frame).alias("stack"),
+        frame = self._s_frame_json(shape, "edge", f)
+        mismatches = cand.where(fail).join(groups, "gid").selectExpr(
+            "gid", "fkey", "focus", "ord", "gord",
+            f"({code}) AS code",
+            f"{self._s_stack('stk', frame)} AS stack",
         )
 
         self._capture_refs(shape, matched)
 
-        value = self._node_value_expr(shape, f)
+        value = self._s_node_value(shape, f)
         if isinstance(shape, ResourceShape) and shape.vocabulary is not None:
-            vmap = F.create_map(
-                *[F.lit(x) for kv in shape.vocabulary
-                  for x in (kv[1].key(), kv[0])]
+            entries = ", ".join(
+                f"{s_str(kv[1].key())}, {s_str(kv[0])}"
+                for kv in shape.vocabulary
             )
-            raw = F.element_at(vmap, term_key(f))
-            with_v = matched.withColumn("__vv", raw)
-            missed = with_v.filter(F.col("__vv").isNull())
+            raw = f"try_element_at(map({entries}), {s_term_key(f)})"
+            with_v = matched.selectExpr("*", f"{raw} AS __vv")
+            missed = with_v.where("__vv IS NULL")
             if not self._suppress_errors:
                 mg = missed.join(groups, "gid")
-                self._emit(mg.select(
+                self._emit(mg.selectExpr(
                     "gid", "fkey", "focus", "ord", "gord",
-                    F.lit(ERR_VOCABULARY).alias("code"),
-                    self._stack_col(
-                        F.col("stk"), self._frame_json(shape, F.col("edge"), f)
-                    ).alias("stack"),
+                    f"{ERR_VOCABULARY} AS code",
+                    f"{self._s_stack('stk', self._s_frame_json(shape, 'edge', f))} AS stack",
                 ))
-            matched = with_v.filter(F.col("__vv").isNotNull())
-            value = json_quote_expr(F.col("__vv"))
+            matched = with_v.where("__vv IS NOT NULL")
+            value = s_json_quote("__vv")
 
-        matches = matched.select(
-            "gid", "fkey", "focus", F.lit("").alias("vkey"), "ord",
-            value.alias("value"),
+        matches = matched.selectExpr(
+            "gid", "fkey", "focus", "'' AS vkey", "ord",
+            f"({value}) AS value",
         )
         return Result(matches, mismatches, per_group=False)
 
-    def _node_value_expr(self, shape, f: Column) -> Column:
+    def _s_node_value(self, shape, t: str) -> str:
         """ValueMapper.mapByDefault → JSON fragment (value-mapping.ts)."""
         if isinstance(shape, ResourceShape):
             if shape.keep_as_term or shape.vocabulary is not None:
-                return term_json_col(f)
-            return F.when(
-                f["kind"] == "bnode",
-                json_quote_expr(F.concat(F.lit("_:"), f["value"])),
-            ).otherwise(json_quote_expr(f["value"]))
+                return s_term_json(t)
+            bn = s_json_quote(f"concat('_:', ({t}).value)")
+            plain = s_json_quote(f"({t}).value")
+            return (
+                f"CASE WHEN ({t}).kind = 'bnode' "
+                f"THEN {bn} ELSE {plain} END"
+            )
         # literal
         if shape.keep_as_term:
-            return term_json_col(f)
+            return s_term_json(t)
         dt = shape.effective_datatype()
         if dt == XSD_STRING:
-            return json_quote_expr(f["value"])
+            return s_json_quote(f"({t}).value")
         if dt == RDF_LANG_STRING and shape.language:
-            return json_quote_expr(f["value"])
+            return s_json_quote(f"({t}).value")
         if dt == XSD_BOOLEAN:
-            return F.when(f["value"] != "false", F.lit("true")).otherwise(F.lit("false"))
+            return (f"CASE WHEN ({t}).value != 'false' "
+                    f"THEN 'true' ELSE 'false' END")
         if dt in INTEGER_TYPES:
-            return f["value"].cast(LongType()).cast(StringType())
+            return f"CAST(CAST(({t}).value AS BIGINT) AS STRING)"
         if dt in FRACTIONAL_TYPES:
-            return f["value"].cast("double").cast(StringType())
+            return f"CAST(CAST(({t}).value AS DOUBLE) AS STRING)"
         # no datatype / unconvertible datatype: value stays a term
-        return term_json_col(f)
+        return s_term_json(t)
 
     # ------------------------------------------------------------------
     # record (frameRecord + frameProperties, frame.ts:207-316)
@@ -410,15 +423,14 @@ class FrameEngine:
         ONE two-level aggregation for the whole engine.  Leaf-valued
         record properties evaluate against this map as pure codegen
         array expressions (zero joins per property)."""
-        if getattr(self, "_sp_gather", None) is None:
+        if self._sp_gather is None:
             by_p = self.triples.groupBy(
-                term_key(F.col("s")).alias("skey"), "p"
-            ).agg(F.collect_list(F.struct("tid", "o")).alias("objs"))
+                F.expr(s_term_key("s")).alias("skey"), "p"
+            ).agg(F.expr("collect_list(struct(tid, o))").alias("objs"))
             self._sp_gather = by_p.groupBy("skey").agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("p", "objs"))
-                ).alias("__pmap")
-            ).localCheckpoint(eager=False)
+                F.expr("map_from_entries(collect_list(struct(p, objs)))")
+                .alias("__pmap")
+            ).persist()
         return self._sp_gather
 
     def _fast_kind(self, prop: Property) -> Optional[Tuple[str, Shape, Shape]]:
@@ -455,160 +467,150 @@ class FrameEngine:
                 return (kind, wrapper, leaf)
         return None
 
-    def _fast_stat(self, prop: Property, kind: str, wrapper: Shape,
-                   leaf: Shape, cstk: Column) -> Column:
+    def _s_fast_stat(self, prop: Property, kind: str, wrapper: Shape,
+                     leaf: Shape, cstk: str) -> str:
         """Property stat struct (ok, value, fcode, fstack) computed as
         array expressions over the gathered ``__pmap`` column —
         replicates _eval_property + leaf/optional/set semantics with
-        zero joins."""
+        zero joins.  Returns a ``named_struct`` SQL expr string."""
         if is_self_path(prop.path):
-            objs = F.array(F.struct(F.col("ord").alias("tid"),
-                                    F.col("focus").alias("o")))
+            objs = "array(struct(ord AS tid, focus AS o))"
         else:
-            objs = F.coalesce(
-                F.try_element_at(F.col("__pmap"), F.lit(prop.path.predicate)),
-                F.array().cast(
-                    "array<struct<tid:bigint,"
-                    "o:struct<kind:string,value:string,dt:string,lang:string>>>"
-                ),
+            objs = (
+                f"coalesce(try_element_at(__pmap, "
+                f"{s_str(prop.path.predicate)}), {EMPTY_OBJS_SQL})"
             )
-        objs = F.array_sort(objs)  # dataset order (tid is first field)
+        objs = f"array_sort({objs})"  # dataset order (tid is first field)
 
-        def fail_of(x):
-            cond, _ = self._node_checks(leaf, x["o"])
-            return cond
-
-        def code_of(x):
-            _, code = self._node_checks(leaf, x["o"])
-            return code
-
-        matched = F.filter(objs, lambda x: ~fail_of(x))
+        fail_x, code_x = self._s_node_checks(leaf, "x.o")
+        matched = f"filter({objs}, x -> NOT {fail_x})"
         if leaf.lenient:
             # lenient leaf: mismatching candidates silently skipped
-            failed = F.array().cast(
-                "array<struct<tid:bigint,"
-                "o:struct<kind:string,value:string,dt:string,lang:string>>>"
-            )
+            failed = EMPTY_OBJS_SQL
         else:
-            failed = F.filter(objs, fail_of)
-        n = F.size(matched)
-        first_m = F.try_element_at(matched, F.lit(1))
-        second_tid = F.try_element_at(matched, F.lit(2))["tid"]
-        fb = F.try_element_at(failed, F.lit(1))
+            failed = f"filter({objs}, x -> {fail_x})"
+        n = f"size({matched})"
+        first_m = f"try_element_at({matched}, 1)"
+        second_tid = f"(try_element_at({matched}, 2)).tid"
+        fb = f"try_element_at({failed}, 1)"
+        _, code_fb = self._s_node_checks(leaf, f"({fb}).o")
 
-        def leaf_frame(term: Column, with_edge: bool) -> Column:
-            base = F.concat(
-                F.lit('{"shape":' + _shape_display(leaf)),
-                F.lit(',"edge":' + jstr(prop.name)) if with_edge else F.lit(""),
-                F.lit(',"focus":'), json_quote_expr(n3_col(term)), F.lit("}"),
+        def leaf_frame(term: str, with_edge: bool) -> str:
+            head = '{"shape":' + _shape_display(leaf)
+            if with_edge:
+                head += ',"edge":' + jstr(prop.name)
+            return (
+                f"concat({s_str(head)}, ',\"focus\":', "
+                f"{s_json_quote(s_n3(term))}, {s_str('}')})"
             )
-            return base
 
-        rec_stack = F.concat(F.lit("["), cstk, F.lit("]"))
+        rec_stack = f"concat('[', {cstk}, ']')"
 
         if kind == "plain":
-            mism_first = fb.isNotNull() & ((n < 2) | (fb["tid"] < second_tid))
-            ok = fb.isNull() & (n == 1)
-            value = F.when(n == 1, self._node_value_expr(leaf, first_m["o"]))
-            fcode = (
-                F.when(mism_first, code_of(fb))
-                .when(n == 0, F.lit(ERR_NO_PROPERTY_MATCHES))
-                .when(n >= 2, F.lit(ERR_MULTIPLE_PROPERTY_MATCHES))
+            mism_first = (
+                f"({fb} IS NOT NULL AND "
+                f"(({n}) < 2 OR ({fb}).tid < {second_tid}))"
             )
-            fstack = F.when(
-                mism_first,
-                F.concat(F.lit("["), cstk, F.lit(","),
-                         leaf_frame(fb["o"], True), F.lit("]")),
-            ).otherwise(rec_stack)
+            ok = f"({fb} IS NULL AND ({n}) = 1)"
+            value = (f"CASE WHEN ({n}) = 1 "
+                     f"THEN {self._s_node_value(leaf, f'({first_m}).o')} END")
+            fcode = (
+                f"CASE WHEN {mism_first} THEN {code_fb} "
+                f"WHEN ({n}) = 0 THEN {ERR_NO_PROPERTY_MATCHES} "
+                f"WHEN ({n}) >= 2 THEN {ERR_MULTIPLE_PROPERTY_MATCHES} END"
+            )
+            fstack = (
+                f"CASE WHEN {mism_first} THEN concat('[', {cstk}, ',', "
+                f"{leaf_frame(f'({fb}).o', True)}, ']') "
+                f"ELSE {rec_stack} END"
+            )
         elif kind == "optional":
-            oframe = F.lit(
-                '{"shape":{"type":"optional"},"edge":' + jstr(prop.name) + '}'
+            oframe = s_str(
+                '{"shape":{"type":"optional"},"edge":' + jstr(prop.name) + "}"
             )
-            mism = F.lit(False) if wrapper.lenient else fb.isNotNull()
-            mism_first = mism & ((n < 2) | (fb["tid"] < second_tid))
-            ok = (n <= 1) & (F.lit(wrapper.lenient) | fb.isNull())
-            value = F.when(n == 1, self._node_value_expr(leaf, first_m["o"]))
+            mism = "false" if wrapper.lenient else f"({fb} IS NOT NULL)"
+            mism_first = (
+                f"({mism} AND (({n}) < 2 OR ({fb}).tid < {second_tid}))"
+            )
+            lenient_lit = "true" if wrapper.lenient else "false"
+            ok = (f"(({n}) <= 1 AND ({lenient_lit} OR {fb} IS NULL))")
+            value = (f"CASE WHEN ({n}) = 1 "
+                     f"THEN {self._s_node_value(leaf, f'({first_m}).o')} END")
             if wrapper.empty_is_null:
-                value = F.coalesce(value, F.lit("null"))
+                value = f"coalesce({value}, 'null')"
             fcode = (
-                F.when(mism_first, code_of(fb))
-                .when(n >= 2, F.lit(ERR_MULTIPLE_PROPERTY_MATCHES))
+                f"CASE WHEN {mism_first} THEN {code_fb} "
+                f"WHEN ({n}) >= 2 THEN {ERR_MULTIPLE_PROPERTY_MATCHES} END"
             )
-            fstack = F.when(
-                mism_first,
-                F.concat(F.lit("["), cstk, F.lit(","), oframe, F.lit(","),
-                         leaf_frame(fb["o"], False), F.lit("]")),
-            ).otherwise(rec_stack)
+            fstack = (
+                f"CASE WHEN {mism_first} THEN concat('[', {cstk}, ',', "
+                f"{oframe}, ',', {leaf_frame(f'({fb}).o', False)}, ']') "
+                f"ELSE {rec_stack} END"
+            )
         else:  # set
-            sframe = F.lit(
-                '{"shape":{"type":"set"},"edge":' + jstr(prop.name) + '}'
+            sframe = s_str(
+                '{"shape":{"type":"set"},"edge":' + jstr(prop.name) + "}"
             )
             min_c = wrapper.min_count or 0
             max_c = wrapper.max_count
-            bounds_ok = (n >= min_c) & (
-                F.lit(True) if max_c is None else (n <= max_c)
-            )
-            inner_ok = fb.isNull() & bounds_ok
+            bounds = f"(({n}) >= {min_c})"
+            if max_c is not None:
+                bounds += f" AND (({n}) <= {max_c})"
+            inner_ok = f"({fb} IS NULL AND {bounds})"
             ok = inner_ok
-            value = F.when(
-                inner_ok,
-                F.concat(
-                    F.lit("["),
-                    F.array_join(
-                        F.transform(
-                            matched,
-                            lambda x: self._node_value_expr(leaf, x["o"]),
-                        ), ",",
-                    ),
-                    F.lit("]"),
-                ),
+            items = (
+                f"array_join(transform({matched}, "
+                f"x -> {self._s_node_value(leaf, 'x.o')}), ',')"
             )
+            value = (f"CASE WHEN {inner_ok} "
+                     f"THEN concat('[', {items}, ']') END")
             if wrapper.lenient:
                 # lenient set: a failing set yields nothing → the
                 # property has no matches (code 203 at the record frame)
-                fcode = F.when(~inner_ok, F.lit(ERR_NO_PROPERTY_MATCHES))
+                fcode = (f"CASE WHEN NOT {inner_ok} "
+                         f"THEN {ERR_NO_PROPERTY_MATCHES} END")
                 fstack = rec_stack
             else:
-                fcode = (
-                    F.when(fb.isNotNull(), code_of(fb))
-                    .when(n < min_c, F.lit(ERR_MIN_COUNT))
-                    .otherwise(F.when(
-                        F.lit(max_c is not None) & (n > (max_c or 0)),
-                        F.lit(ERR_MAX_COUNT)))
+                fcode = f"CASE WHEN {fb} IS NOT NULL THEN {code_fb} " \
+                    f"WHEN ({n}) < {min_c} THEN {ERR_MIN_COUNT} "
+                if max_c is not None:
+                    fcode += f"WHEN ({n}) > {max_c} THEN {ERR_MAX_COUNT} "
+                fcode += "END"
+                fstack = (
+                    f"CASE WHEN {fb} IS NOT NULL THEN concat('[', {cstk}, "
+                    f"',', {sframe}, ',', {leaf_frame(f'({fb}).o', False)}, "
+                    f"']') ELSE concat('[', {cstk}, ',', {sframe}, ']') END"
                 )
-                fstack = F.when(
-                    fb.isNotNull(),
-                    F.concat(F.lit("["), cstk, F.lit(","), sframe, F.lit(","),
-                             leaf_frame(fb["o"], False), F.lit("]")),
-                ).otherwise(
-                    F.concat(F.lit("["), cstk, F.lit(","), sframe, F.lit("]"))
-                )
-        return F.struct(
-            ok.alias("ok"), value.cast("string").alias("value"),
-            fcode.cast("int").alias("fcode"), fstack.alias("fstack"),
+        if not self._diag:
+            fstack = "CAST(NULL AS STRING)"
+        return (
+            f"named_struct('ok', {ok}, 'value', CAST({value} AS STRING), "
+            f"'fcode', CAST({fcode} AS INT), 'fstack', {fstack})"
         )
 
     def _compile_record(self, shape: RecordShape, cand: DataFrame,
                         groups: DataFrame, required: bool) -> Result:
         site = self._next_site()
         c = cand.join(groups, "gid")
-        f = F.col("focus")
-        own_frame = self._frame_json(shape, F.col("edge"), f)
-        cstk = F.when(F.col("stk") == "", own_frame).otherwise(
-            F.concat(F.col("stk"), F.lit(","), own_frame)
-        )
+        if self._diag:
+            own_frame = self._s_frame_json(shape, "edge", "focus")
+            cstk = (f"CASE WHEN stk = '' THEN {own_frame} "
+                    f"ELSE concat(stk, ',', {own_frame}) END")
+            nonres_stack = f"concat('[', {cstk}, ']')"
+        else:
+            cstk = "''"
+            nonres_stack = "CAST(NULL AS STRING)"
 
-        nonres = c.filter(~is_resource_col(f)).select(
+        nonres = c.where(f"NOT {s_is_resource('focus')}").selectExpr(
             "gid", "fkey", "focus", "ord", "gord",
-            F.lit(ERR_NON_RESOURCE_TERM).alias("code"),
-            F.concat(F.lit("["), cstk, F.lit("]")).alias("stack"),
+            f"{ERR_NON_RESOURCE_TERM} AS code",
+            f"{nonres_stack} AS stack",
         )
 
-        rc = c.filter(is_resource_col(f)).select(
+        rc = c.where(s_is_resource("focus")).selectExpr(
             "gid", "fkey", "focus", "ord", "gord", "refk",
-            cstk.alias("cstk"),
-            F.md5(F.concat_ws("\x1e", F.col("gid"), F.col("fkey"),
-                              F.lit(str(site)))).alias("ckey"),
+            f"({cstk}) AS cstk",
+            f"md5(concat_ws({_SEP}, gid, fkey, {s_str(str(site))})) AS ckey",
         )
 
         collecting = bool(shape.computed_properties)
@@ -624,35 +626,42 @@ class FrameEngine:
             sp = self.subject_props().withColumnRenamed("skey", "__sk")
             rc = rc.join(sp, F.col("fkey") == F.col("__sk"), "left") \
                 .drop("__sk")
-        rc = rc.localCheckpoint(eager=False)
+
+        # materialize every fast-path stat struct as ONE real column so
+        # downstream field accesses don't duplicate the (large) struct
+        # expression tree
+        all_props = list(zip(shape.type_properties, fast_t)) + \
+            list(zip(shape.properties, fast_r))
+        stat_exprs = ["*"]
+        for i, (prop, fk) in enumerate(all_props):
+            if fk is not None:
+                st = self._s_fast_stat(prop, fk[0], fk[1], fk[2], "cstk")
+                stat_exprs.append(f"({st}) AS __st{i}")
+        if len(stat_exprs) > 1:
+            rc = rc.selectExpr(*stat_exprs)
+        rc = rc.persist()
         gated = required or bool(shape.type_properties)
-        cstk_rc = F.col("cstk")
+        n_type = len(shape.type_properties)
 
         # --- type properties (the gate, frame.ts:248-253)
         gate_ok = rc
         gate_fail_diag: Optional[DataFrame] = None
-        tstats: List[Tuple[Property, object]] = []
-        fast_gate_conds: List[Column] = []
-        slow_gate_fail: List[DataFrame] = []
-        for prop, fk in zip(shape.type_properties, fast_t):
+        tstats: List[Tuple[Property, tuple]] = []
+        fast_gate_conds: List[str] = []
+        for i, (prop, fk) in enumerate(zip(shape.type_properties, fast_t)):
             if fk is not None:
-                st = self._fast_stat(prop, fk[0], fk[1], fk[2], cstk_rc)
-                tstats.append((prop, ("fast", st)))
-                fast_gate_conds.append(st)
+                tstats.append((prop, ("fast", f"__st{i}")))
+                fast_gate_conds.append(f"(__st{i}.ok)")
             else:
                 pdf = self._eval_property(rc, prop, required)
                 tstats.append((prop, ("slow", pdf)))
-                slow_gate_fail.append(pdf)
         if fast_gate_conds:
-            cond = F.lit(True)
-            for st in fast_gate_conds:
-                cond = cond & st["ok"]
-            gate_ok = gate_ok.filter(cond)
+            gate_ok = gate_ok.where(" AND ".join(fast_gate_conds))
         for prop, entry in tstats:
             if entry[0] == "slow":
                 pdf = entry[1]
                 gate_ok = gate_ok.join(
-                    pdf.filter(F.col("ok")).select(
+                    pdf.where("ok").select(
                         F.col("ckey").alias("__gck")),
                     F.col("ckey") == F.col("__gck"), "left_semi",
                 )
@@ -660,47 +669,42 @@ class FrameEngine:
         # gate-failure diagnostics: first failing type property in
         # declaration order (fast conds inline; slow via join)
         if shape.type_properties:
-            gf_code = F.lit(None).cast("int")
-            gf_stack = F.lit(None).cast("string")
             gfail = rc
+            code_frags: List[str] = []
+            stack_frags: List[str] = []
             for i, (prop, entry) in enumerate(tstats):
                 if entry[0] == "fast":
                     st = entry[1]
-                    gf_code = F.when(gf_code.isNotNull(), gf_code) \
-                        .otherwise(F.when(~st["ok"], st["fcode"]))
-                    gf_stack = F.when(gf_stack.isNotNull(), gf_stack) \
-                        .otherwise(F.when(~st["ok"], st["fstack"]))
+                    code_frags.append(
+                        f"CASE WHEN NOT ({st}.ok) THEN ({st}.fcode) END")
+                    stack_frags.append(
+                        f"CASE WHEN NOT ({st}.ok) THEN ({st}.fstack) END")
                 else:
-                    pdf = entry[1].select(
-                        F.col("ckey").alias(f"__gk{i}"),
-                        F.col("ok").alias(f"__go{i}"),
-                        F.col("fcode").alias(f"__gc{i}"),
-                        F.col("fstack").alias(f"__gs{i}"),
+                    pdf = entry[1].selectExpr(
+                        f"ckey AS __gk{i}", f"ok AS __go{i}",
+                        f"fcode AS __gc{i}", f"fstack AS __gs{i}",
                     )
                     gfail = gfail.join(
                         pdf, F.col("ckey") == F.col(f"__gk{i}"), "left")
-                    bad = ~F.coalesce(F.col(f"__go{i}"), F.lit(False))
-                    gf_code = F.when(gf_code.isNotNull(), gf_code) \
-                        .otherwise(F.when(bad, F.col(f"__gc{i}")))
-                    gf_stack = F.when(gf_stack.isNotNull(), gf_stack) \
-                        .otherwise(F.when(bad, F.col(f"__gs{i}")))
-            gate_fail_diag = gfail.withColumn("__gfc", gf_code) \
-                .withColumn("__gfs", gf_stack) \
-                .filter(F.col("__gfc").isNotNull()) \
-                .select("gid", "fkey", "focus", "ord", "gord",
-                        F.col("__gfc").alias("code"),
-                        F.col("__gfs").alias("stack"))
+                    bad = f"(NOT coalesce(__go{i}, false))"
+                    code_frags.append(f"CASE WHEN {bad} THEN __gc{i} END")
+                    stack_frags.append(f"CASE WHEN {bad} THEN __gs{i} END")
+            gf_code = "coalesce(" + ", ".join(code_frags) + ")"
+            gf_stack = "coalesce(" + ", ".join(stack_frags) + ")"
+            gate_fail_diag = gfail.selectExpr(
+                "gid", "fkey", "focus", "ord", "gord",
+                f"({gf_code}) AS code", f"({gf_stack}) AS stack",
+            ).where("code IS NOT NULL")
 
         if any(e[0] == "slow" for _, e in tstats):
-            gate_ok = gate_ok.localCheckpoint(eager=False)
+            gate_ok = gate_ok.persist()
 
         # --- regular properties (strict once the gate matched)
         site_required = required or bool(shape.type_properties)
-        rstats: List[Tuple[Property, object]] = []
-        for prop, fk in zip(shape.properties, fast_r):
+        rstats: List[Tuple[Property, tuple]] = []
+        for j, (prop, fk) in enumerate(zip(shape.properties, fast_r)):
             if fk is not None:
-                rstats.append((prop, ("fast", self._fast_stat(
-                    prop, fk[0], fk[1], fk[2], cstk_rc))))
+                rstats.append((prop, ("fast", f"__st{n_type + j}")))
             else:
                 pdf = self._eval_property(gate_ok, prop, site_required)
                 rstats.append((prop, ("slow", pdf)))
@@ -713,43 +717,42 @@ class FrameEngine:
         if slow_entries:
             stats = None
             for i, pdf in slow_entries:
-                tagged = pdf.select(
-                    "ckey", F.lit(i).alias("pidx"),
-                    F.struct("ok", "value", "fcode", "fstack").alias("st"),
+                tagged = pdf.selectExpr(
+                    "ckey", f"{i} AS pidx",
+                    "struct(ok, value, fcode, fstack) AS st",
                 )
                 stats = tagged if stats is None else stats.unionAll(tagged)
             agg = stats.groupBy("ckey").agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("pidx", "st"))
-                ).alias("__pm")
+                F.expr("map_from_entries(collect_list(struct(pidx, st)))")
+                .alias("__pm")
             ).withColumnRenamed("ckey", "__pmk")
             acc = gate_ok.join(agg, F.col("ckey") == F.col("__pmk"), "left")
 
-        frags: List[Column] = []
-        ok_all = F.lit(True)
-        fail_code = F.lit(None).cast("int")
-        fail_stack = F.lit(None).cast("string")
+        frags: List[str] = []
+        ok_parts: List[str] = []
+        code_frags = []
+        stack_frags = []
         for i, (prop, entry) in enumerate(all_stats):
             if entry[0] == "fast":
                 st = entry[1]
-                oki = st["ok"]
+                oki = f"({st}.ok)"
             else:
-                st = F.try_element_at(F.col("__pm"), F.lit(i))
-                oki = F.coalesce(st["ok"], F.lit(False))
-            ok_all = ok_all & oki
-            fail_code = F.when(
-                fail_code.isNotNull(), fail_code
-            ).otherwise(F.when(~oki, st["fcode"]))
-            fail_stack = F.when(
-                fail_stack.isNotNull(), fail_stack
-            ).otherwise(F.when(~oki, st["fstack"]))
+                st = f"try_element_at(__pm, {i})"
+                oki = f"coalesce(({st}).ok, false)"
+            ok_parts.append(oki)
+            code_frags.append(f"CASE WHEN NOT {oki} THEN ({st}).fcode END")
+            stack_frags.append(f"CASE WHEN NOT {oki} THEN ({st}).fstack END")
             if not prop.transient:
                 frags.append(
-                    F.when(
-                        st["value"].isNotNull(),
-                        F.concat(F.lit(jstr(prop.name) + ":"), st["value"]),
-                    )
+                    f"CASE WHEN ({st}).value IS NOT NULL THEN "
+                    f"concat({s_str(jstr(prop.name) + ':')}, ({st}).value) END"
                 )
+
+        ok_all = "(" + " AND ".join(ok_parts) + ")" if ok_parts else "true"
+        fail_code = ("coalesce(" + ", ".join(code_frags) + ")"
+                     if code_frags else "CAST(NULL AS INT)")
+        fail_stack = ("coalesce(" + ", ".join(stack_frags) + ")"
+                      if stack_frags else "CAST(NULL AS STRING)")
 
         # computed properties (frame.ts:324-359, synthesize.ts:55-223)
         if collecting:
@@ -757,19 +760,19 @@ class FrameEngine:
             frags.extend(cfrags)
             self._deactivate_collectors(shape)
 
-        value = F.concat(F.lit("{"), F.concat_ws(",", *frags) if frags else F.lit(""), F.lit("}"))
-        matches = acc.filter(ok_all).select(
-            "gid", "fkey", "focus", F.lit("").alias("vkey"), "ord",
-            value.alias("value"),
+        body = f"concat_ws(',', {', '.join(frags)})" if frags else "''"
+        value = f"concat('{{', {body}, '}}')"
+        matches = acc.where(ok_all).selectExpr(
+            "gid", "fkey", "focus", "'' AS vkey", "ord",
+            f"({value}) AS value",
         )
 
         # property failures of gate-passing candidates: unconditional
         # errors when gated (strictByType, frame.ts:248-253); plain
         # mismatches otherwise
-        prop_fail = acc.filter(~ok_all).select(
-            "gid", "fkey", "focus", "ord", "gord",
-            F.col("ckey"),
-            fail_code.alias("code"), fail_stack.alias("stack"),
+        prop_fail = acc.where(f"NOT {ok_all}").selectExpr(
+            "gid", "fkey", "focus", "ord", "gord", "ckey",
+            f"({fail_code}) AS code", f"({fail_stack}) AS stack",
         )
         if gated and not required and not self._suppress_errors:
             # (when required, the dispatch wrapper emits mismatches)
@@ -793,81 +796,75 @@ class FrameEngine:
         fstack, ford).
         """
         psite = self._next_site()
-        childgid = F.md5(F.concat_ws("\x1e", F.col("ckey"), F.lit(str(psite))))
+        childgid = f"md5(concat_ws({_SEP}, ckey, {s_str(str(psite))}))"
 
-        src = rc.select(
-            "ckey", F.col("focus").alias("node"), F.col("ord").alias("tord")
-        )
+        src = rc.selectExpr("ckey", "focus AS node", "ord AS tord")
         pout = eval_path(prop.path, src, ["ckey"], self.triples)
 
-        meta = rc.select(
-            "ckey", childgid.alias("cgid"), F.col("ord").alias("pord"),
-            F.col("gord").alias("pgord"), F.col("cstk").alias("pstk"),
-            F.col("refk").alias("prefk"),
+        meta = rc.selectExpr(
+            "ckey", f"{childgid} AS cgid", "ord AS pord",
+            "gord AS pgord", "cstk AS pstk", "refk AS prefk",
         )
-        childcand = pout.join(meta, "ckey").select(
-            F.col("cgid").alias("gid"),
-            term_key(F.col("node")).alias("fkey"),
-            F.col("node").alias("focus"),
-            F.col("tord").alias("ord"),
-            F.col("prefk").alias("refk"),
+        childcand = pout.join(meta, "ckey").selectExpr(
+            "cgid AS gid",
+            f"{s_term_key('node')} AS fkey",
+            "node AS focus",
+            "tord AS ord",
+            "prefk AS refk",
         )
-        childgroups = meta.select(
-            F.col("cgid").alias("gid"), F.col("pgord").alias("gord"),
-            F.col("pstk").alias("stk"),
-            F.lit(jstr(prop.name)).alias("edge"),
+        childgroups = meta.selectExpr(
+            "cgid AS gid", "pgord AS gord", "pstk AS stk",
+            f"{s_str(jstr(prop.name))} AS edge",
         )
         cres = self.compile(prop.value_shape, childcand, childgroups, required)
 
-        # one aggregation over the union of matches (is_m=1) and
-        # mismatches (is_m=0) — halves the shuffle/analysis cost of the
-        # per-property fold
-        munion = cres.matches.select(
-            "gid", F.lit(True).alias("is_m"), "ord", "value",
-            F.lit(None).cast("int").alias("code"),
-            F.lit(None).cast("string").alias("stack"),
-        ).unionAll(cres.mismatches.select(
-            "gid", F.lit(False).alias("is_m"), "ord",
-            F.lit(None).cast("string").alias("value"), "code", "stack",
+        # one aggregation over the union of matches (is_m=true) and
+        # mismatches (is_m=false) — halves the shuffle/analysis cost of
+        # the per-property fold
+        munion = cres.matches.selectExpr(
+            "gid", "true AS is_m", "ord", "value",
+            "CAST(NULL AS INT) AS code", "CAST(NULL AS STRING) AS stack",
+        ).unionAll(cres.mismatches.selectExpr(
+            "gid", "false AS is_m", "ord",
+            "CAST(NULL AS STRING) AS value", "code", "stack",
         ))
         magg = munion.groupBy("gid").agg(
-            F.count(F.when(F.col("is_m"), 1)).alias("n"),
-            F.min(F.when(F.col("is_m"), F.struct("ord", "value"))).alias("first_m"),
-            F.try_element_at(
-                F.array_sort(
-                    F.collect_list(F.when(F.col("is_m"), F.struct("ord")))
-                ), F.lit(2)
-            ).alias("second_m"),
-            F.min(F.when(~F.col("is_m"),
-                         F.struct("ord", "code", "stack"))).alias("fm"),
+            F.expr("count(CASE WHEN is_m THEN 1 END)").alias("n"),
+            F.expr("min(CASE WHEN is_m THEN struct(ord, value) END)")
+            .alias("first_m"),
+            F.expr("try_element_at(array_sort(collect_list("
+                   "CASE WHEN is_m THEN struct(ord) END)), 2)")
+            .alias("second_m"),
+            F.expr("min(CASE WHEN NOT is_m THEN struct(ord, code, stack) END)")
+            .alias("fm"),
         ).withColumnRenamed("gid", "__mg")
         out = meta.join(magg, F.col("cgid") == F.col("__mg"), "left")
-        n = F.coalesce(F.col("n"), F.lit(0))
-        fm = F.col("fm")
-        second_ord = F.col("second_m")["ord"]
-        rec_stack = F.concat(F.lit("["), F.col("pstk"), F.lit("]"))
-        mismatch_first = fm.isNotNull() & (
-            (n < 2) | (fm["ord"] < second_ord)
+        n = "coalesce(n, 0)"
+        rec_stack = ("concat('[', pstk, ']')" if self._diag
+                     else "CAST(NULL AS STRING)")
+        mismatch_first = (
+            f"(fm IS NOT NULL AND (({n}) < 2 OR fm.ord < second_m.ord))"
         )
-        ok = fm.isNull() & (n == 1)
+        ok = f"(fm IS NULL AND ({n}) = 1)"
         fcode = (
-            F.when(mismatch_first, fm["code"])
-            .when(n == 0, F.lit(ERR_NO_PROPERTY_MATCHES))
-            .when(n >= 2, F.lit(ERR_MULTIPLE_PROPERTY_MATCHES))
+            f"CASE WHEN {mismatch_first} THEN fm.code "
+            f"WHEN ({n}) = 0 THEN {ERR_NO_PROPERTY_MATCHES} "
+            f"WHEN ({n}) >= 2 THEN {ERR_MULTIPLE_PROPERTY_MATCHES} END"
         )
         fstack = (
-            F.when(mismatch_first, fm["stack"])
-            .when(n == 0, rec_stack)
-            .when(n >= 2, rec_stack)
+            f"CASE WHEN {mismatch_first} THEN fm.stack "
+            f"WHEN ({n}) = 0 THEN {rec_stack} "
+            f"WHEN ({n}) >= 2 THEN {rec_stack} END"
         )
         ford = (
-            F.when(mismatch_first, fm["ord"])
-            .when(n == 0, F.lit(_BIG_ORD))
-            .otherwise(second_ord)
+            f"CASE WHEN {mismatch_first} THEN fm.ord "
+            f"WHEN ({n}) = 0 THEN {_BIG_ORD}L "
+            f"ELSE second_m.ord END"
         )
-        return out.select(
-            "ckey", ok.alias("ok"), F.col("first_m")["value"].alias("value"),
-            fcode.alias("fcode"), fstack.alias("fstack"), ford.alias("ford"),
+        return out.selectExpr(
+            "ckey", f"{ok} AS ok", "first_m.value AS value",
+            f"({fcode}) AS fcode", f"({fstack}) AS fstack",
+            f"({ford}) AS ford",
         )
 
     # ------------------------------------------------------------------
@@ -875,12 +872,12 @@ class FrameEngine:
     # ------------------------------------------------------------------
     def _compile_anyof(self, shape: AnyOfShape, cand: DataFrame,
                        groups: DataFrame, required: bool) -> Result:
-        own_frame = self._frame_json(shape, F.col("edge"), None)
-        groups2 = groups.select(
+        own_frame = self._s_frame_json(shape, "edge", None)
+        groups2 = groups.selectExpr(
             "gid", "gord",
-            F.when(F.col("stk") == "", own_frame)
-            .otherwise(F.concat(F.col("stk"), F.lit(","), own_frame)).alias("stk"),
-            F.lit(None).cast("string").alias("edge"),
+            f"(CASE WHEN stk = '' THEN {own_frame} "
+            f"ELSE concat(stk, ',', {own_frame}) END) AS stk",
+            "CAST(NULL AS STRING) AS edge",
         )
         vres: List[Result] = []
         tagged: List[DataFrame] = []
@@ -890,18 +887,19 @@ class FrameEngine:
             tagged.append(
                 r.matches.withColumn(
                     "vkey",
-                    F.when(
-                        F.col("vkey") == "",
-                        F.lit(f"{i:04d}"),
-                    ).otherwise(F.concat(F.lit(f"{i:04d}."), F.col("vkey"))),
+                    F.expr(
+                        f"CASE WHEN vkey = '' THEN '{i:04d}' "
+                        f"ELSE concat('{i:04d}.', vkey) END"
+                    ),
                 )
             )
         matches = tagged[0]
         for t in tagged[1:]:
             matches = matches.unionAll(t)
 
-        covered_gids = matches.filter(F.col("fkey").isNull()).select("gid").distinct()
-        percand = matches.filter(F.col("fkey").isNotNull()).select("gid", "fkey").distinct()
+        covered_gids = matches.where("fkey IS NULL").select("gid").distinct()
+        percand = matches.where("fkey IS NOT NULL") \
+            .select("gid", "fkey").distinct()
         unmatched = (
             cand.join(percand, ["gid", "fkey"], "left_anti")
             .join(covered_gids, "gid", "left_anti")
@@ -911,23 +909,19 @@ class FrameEngine:
         # (frame.ts:415-422)
         v0 = vres[0]
         if v0.per_group:
-            diag = v0.mismatches.select(
-                "gid", F.col("code").alias("dcode"), F.col("stack").alias("dstack")
-            )
+            diag = v0.mismatches.selectExpr(
+                "gid", "code AS dcode", "stack AS dstack")
             um = unmatched.join(diag, "gid", "left")
         else:
-            diag = v0.mismatches.select(
-                "gid", "fkey", F.col("code").alias("dcode"),
-                F.col("stack").alias("dstack"),
-            )
+            diag = v0.mismatches.selectExpr(
+                "gid", "fkey", "code AS dcode", "stack AS dstack")
             um = unmatched.join(diag, ["gid", "fkey"], "left")
         umg = um.join(groups2.select("gid", "gord", "stk"), "gid")
-        mism = umg.select(
+        mism = umg.selectExpr(
             "gid", "fkey", "focus", "ord", "gord",
-            F.coalesce(F.col("dcode"), F.lit(ERR_SHAPE_MISMATCH)).alias("code"),
-            F.coalesce(
-                F.col("dstack"), F.concat(F.lit("["), F.col("stk"), F.lit("]"))
-            ).alias("stack"),
+            f"coalesce(dcode, {ERR_SHAPE_MISMATCH}) AS code",
+            ("coalesce(dstack, concat('[', stk, ']')) AS stack"
+             if self._diag else "CAST(NULL AS STRING) AS stack"),
         )
         return Result(matches, mism, per_group=False)
 
@@ -936,75 +930,68 @@ class FrameEngine:
     # ------------------------------------------------------------------
     def _compile_set(self, shape: SetShape, cand: DataFrame,
                      groups: DataFrame, required: bool) -> Result:
-        own_frame = self._frame_json(shape, F.col("edge"), None)
-        stk2 = F.when(F.col("stk") == "", own_frame).otherwise(
-            F.concat(F.col("stk"), F.lit(","), own_frame)
-        )
-        groups2 = groups.select(
-            "gid", "gord", stk2.alias("stk"),
-            F.lit(None).cast("string").alias("edge"),
+        own_frame = self._s_frame_json(shape, "edge", None)
+        groups2 = groups.selectExpr(
+            "gid", "gord",
+            f"(CASE WHEN stk = '' THEN {own_frame} "
+            f"ELSE concat(stk, ',', {own_frame}) END) AS stk",
+            "CAST(NULL AS STRING) AS edge",
         )
         ires = self.compile(shape.item_shape, cand, groups2, required)
 
         magg = ires.matches.groupBy("gid").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("ord").alias("mord"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("vkey", "ord", "value"))),
-                    lambda x: F.coalesce(x["value"], F.lit("null")),
-                ),
-                ",",
+            F.expr("count(1)").alias("n"),
+            F.expr("min(ord)").alias("mord"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(vkey, ord, value))), "
+                "x -> coalesce(x.value, 'null')), ',')"
             ).alias("items"),
         )
         mmagg = ires.mismatches.groupBy("gid").agg(
-            F.min(F.struct("ord", "code", "stack")).alias("fm"),
+            F.expr("min(struct(ord, code, stack))").alias("fm"),
         )
-        base = groups2.select(
+        base = groups2.selectExpr(
             "gid", "gord",
-            F.concat(F.lit("["), F.col("stk"), F.lit("]")).alias("setstack"),
+            ("concat('[', stk, ']') AS setstack" if self._diag
+             else "CAST(NULL AS STRING) AS setstack"),
         )
         out = base.join(magg, "gid", "left").join(mmagg, "gid", "left")
-        n = F.coalesce(F.col("n"), F.lit(0))
-        fm = F.col("fm")
+        n = "coalesce(n, 0)"
         min_c = shape.min_count or 0
         max_c = shape.max_count if shape.max_count is not None else None
 
-        ok = fm.isNull() & (n >= min_c)
+        ok = f"(fm IS NULL AND ({n}) >= {min_c}"
         if max_c is not None:
-            ok = ok & (n <= max_c)
+            ok += f" AND ({n}) <= {max_c}"
+        ok += ")"
 
-        matches = out.filter(ok).select(
-            "gid", F.lit(None).cast("string").alias("fkey"),
-            F.lit(None).cast(
-                "struct<kind:string,value:string,dt:string,lang:string>"
-            ).alias("focus"),
-            F.lit("").alias("vkey"),
-            F.coalesce(F.col("mord"), F.col("gord")).alias("ord"),
-            F.concat(F.lit("["), F.coalesce(F.col("items"), F.lit("")), F.lit("]")).alias("value"),
+        matches = out.where(ok).selectExpr(
+            "gid", "CAST(NULL AS STRING) AS fkey",
+            f"{NULL_TERM_SQL} AS focus",
+            "'' AS vkey",
+            "coalesce(mord, gord) AS ord",
+            "concat('[', coalesce(items, ''), ']') AS value",
         )
 
-        mism_inherit = out.filter(fm.isNotNull()).select(
-            "gid", F.lit(None).cast("string").alias("fkey"),
-            F.lit(None).cast(
-                "struct<kind:string,value:string,dt:string,lang:string>"
-            ).alias("focus"),
-            fm["ord"].alias("ord"), "gord",
-            fm["code"].alias("code"), fm["stack"].alias("stack"),
+        mism_inherit = out.where("fm IS NOT NULL").selectExpr(
+            "gid", "CAST(NULL AS STRING) AS fkey",
+            f"{NULL_TERM_SQL} AS focus",
+            "fm.ord AS ord", "gord",
+            "fm.code AS code", "fm.stack AS stack",
         )
-        count_conds = [(fm.isNull() & (n < min_c), ERR_MIN_COUNT)]
+        count_conds = [(f"(fm IS NULL AND ({n}) < {min_c})", ERR_MIN_COUNT)]
         if max_c is not None:
-            count_conds.append((fm.isNull() & (n > max_c), ERR_MAX_COUNT))
+            count_conds.append(
+                (f"(fm IS NULL AND ({n}) > {max_c})", ERR_MAX_COUNT))
         mism = mism_inherit
         for cond, code in count_conds:
             mism = mism.unionAll(
-                out.filter(cond).select(
-                    "gid", F.lit(None).cast("string").alias("fkey"),
-                    F.lit(None).cast(
-                        "struct<kind:string,value:string,dt:string,lang:string>"
-                    ).alias("focus"),
-                    F.col("gord").alias("ord"), "gord",
-                    F.lit(code).alias("code"), F.col("setstack").alias("stack"),
+                out.where(cond).selectExpr(
+                    "gid", "CAST(NULL AS STRING) AS fkey",
+                    f"{NULL_TERM_SQL} AS focus",
+                    "gord AS ord", "gord",
+                    f"{code} AS code", "setstack AS stack",
                 )
             )
         return Result(matches, mism, per_group=True)
@@ -1014,13 +1001,12 @@ class FrameEngine:
     # ------------------------------------------------------------------
     def _compile_optional(self, shape: OptionalShape, cand: DataFrame,
                           groups: DataFrame, required: bool) -> Result:
-        own_frame = self._frame_json(shape, F.col("edge"), None)
-        stk2 = F.when(F.col("stk") == "", own_frame).otherwise(
-            F.concat(F.col("stk"), F.lit(","), own_frame)
-        )
-        groups2 = groups.select(
-            "gid", "gord", stk2.alias("stk"),
-            F.lit(None).cast("string").alias("edge"),
+        own_frame = self._s_frame_json(shape, "edge", None)
+        groups2 = groups.selectExpr(
+            "gid", "gord",
+            f"(CASE WHEN stk = '' THEN {own_frame} "
+            f"ELSE concat(stk, ',', {own_frame}) END) AS stk",
+            "CAST(NULL AS STRING) AS edge",
         )
         # item framed non-strict; under a strict context the replay
         # (frame.ts:477-486) surfaces the diagnostics, which the
@@ -1028,17 +1014,13 @@ class FrameEngine:
         ires = self.compile(shape.item_shape, cand, groups2, required=False)
 
         has_match = ires.matches.select("gid").distinct()
-        empty_value = (
-            F.lit("null").alias("value") if shape.empty_is_null
-            else F.lit(None).cast("string").alias("value")
-        )
-        empties = groups.join(has_match, "gid", "left_anti").select(
-            "gid", F.lit(None).cast("string").alias("fkey"),
-            F.lit(None).cast(
-                "struct<kind:string,value:string,dt:string,lang:string>"
-            ).alias("focus"),
-            F.lit("").alias("vkey"),
-            F.lit(_BIG_ORD).alias("ord"),
+        empty_value = "'null' AS value" if shape.empty_is_null \
+            else "CAST(NULL AS STRING) AS value"
+        empties = groups.join(has_match, "gid", "left_anti").selectExpr(
+            "gid", "CAST(NULL AS STRING) AS fkey",
+            f"{NULL_TERM_SQL} AS focus",
+            "'' AS vkey",
+            f"{_BIG_ORD}L AS ord",
             empty_value,
         )
         matches = ires.matches.unionAll(empties)
@@ -1050,17 +1032,17 @@ class FrameEngine:
     def _compile_recursive_site(self, shape, cand: DataFrame,
                                 groups: DataFrame) -> Result:
         gm = self._fixpoint_matches(shape.id)
-        matches = cand.join(gm.select("fkey", F.col("value").alias("__gv")),
-                            "fkey").select(
-            "gid", "fkey", "focus", F.lit("").alias("vkey"), "ord",
-            F.col("__gv").alias("value"),
+        matches = cand.join(gm.selectExpr("fkey", "value AS __gv"),
+                            "fkey").selectExpr(
+            "gid", "fkey", "focus", "'' AS vkey", "ord",
+            "__gv AS value",
         )
         cg = cand.join(gm.select("fkey"), "fkey", "left_anti").join(groups, "gid")
-        frame = self._frame_json(shape, F.col("edge"), F.col("focus"))
-        mism = cg.select(
+        frame = self._s_frame_json(shape, "edge", "focus")
+        mism = cg.selectExpr(
             "gid", "fkey", "focus", "ord", "gord",
-            F.lit(ERR_SHAPE_MISMATCH).alias("code"),
-            self._stack_col(F.col("stk"), frame).alias("stack"),
+            f"{ERR_SHAPE_MISMATCH} AS code",
+            f"{self._s_stack('stk', frame)} AS stack",
         )
         return Result(matches, mism, per_group=False)
 
@@ -1092,10 +1074,10 @@ class FrameEngine:
             self._fix[s.id.key()] = empty
 
         uni = self.universe()
-        cand = uni.select(
-            F.lit("u").alias("gid"), term_key(F.col("focus")).alias("fkey"),
-            "focus", "ord", F.lit(None).cast("string").alias("refk"),
-        ).localCheckpoint(eager=False)
+        cand = uni.selectExpr(
+            "'u' AS gid", f"{s_term_key('focus')} AS fkey",
+            "focus", "ord", "CAST(NULL AS STRING) AS refk",
+        ).persist()
         groups = self.spark.createDataFrame(
             [("u", 0, "", None)],
             "gid string, gord long, stk string, edge string",
@@ -1114,15 +1096,15 @@ class FrameEngine:
                         res = self._compile_record(s, cand, groups, required=False)
                     else:
                         res = self._compile_list(s, cand, groups, required=False)
+                    # lazy checkpoint: the signature aggregate below is
+                    # the round's single job and materializes it
                     gm = res.matches.select("fkey", "focus", "ord", "value") \
-                        .localCheckpoint(eager=True)
+                        .localCheckpoint(eager=False)
                     new_fix[s.id.key()] = gm
                     agg = gm.agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.coalesce(
-                            F.bit_xor(F.xxhash64(F.col("fkey"), F.col("value"))),
-                            F.lit(0),
-                        ).alias("h"),
+                        F.expr("count(1)").alias("n"),
+                        F.expr("coalesce(bit_xor(xxhash64(fkey, value)), 0)")
+                        .alias("h"),
                     ).collect()[0]
                     sigs[s.id.key()] = (agg["n"], agg["h"])
                 self._fix.update(new_fix)
@@ -1156,108 +1138,116 @@ class FrameEngine:
         nil = shape.nil or Term("iri", RDF_NIL)
 
         c = cand.join(groups, "gid")
-        f = F.col("focus")
-        own_frame = self._frame_json(shape, F.col("edge"), f)
-        lstk = F.concat(
-            F.lit("["),
-            F.when(F.col("stk") == "", own_frame)
-            .otherwise(F.concat(F.col("stk"), F.lit(","), own_frame)),
-            F.lit("]"),
-        )
-        base = c.select(
+        if self._diag:
+            own_frame = self._s_frame_json(shape, "edge", "focus")
+            pfx = (f"CASE WHEN stk = '' THEN {own_frame} "
+                   f"ELSE concat(stk, ',', {own_frame}) END")
+            lstk = f"concat('[', {pfx}, ']')"
+        else:
+            pfx = "''"
+            lstk = "CAST(NULL AS STRING)"
+        base = c.selectExpr(
             "gid", "fkey", "focus", "ord", "gord", "refk",
-            lstk.alias("lstk"),
-            F.when(F.col("stk") == "", own_frame)
-            .otherwise(F.concat(F.col("stk"), F.lit(","), own_frame)).alias("pfx"),
-            F.md5(F.concat_ws("\x1e", F.col("gid"), F.col("fkey"),
-                              F.lit(str(site)))).alias("ckey"),
-        ).localCheckpoint(eager=False)
+            f"{lstk} AS lstk",
+            f"({pfx}) AS pfx",
+            f"md5(concat_ws({_SEP}, gid, fkey, {s_str(str(site))})) AS ckey",
+        ).persist()
 
-        nonres0 = base.filter(~is_resource_col(f))
+        nonres0 = base.where(f"NOT {s_is_resource('focus')}")
         walk_fail: List[DataFrame] = [
-            nonres0.select("ckey", F.lit(ERR_NON_RESOURCE_TERM).alias("code"),
-                           F.col("lstk").alias("stack"),
-                           F.col("ord").alias("ford"))
+            nonres0.selectExpr(
+                "ckey", f"{ERR_NON_RESOURCE_TERM} AS code",
+                "lstk AS stack", "ord AS ford",
+            )
         ]
         heads_parts: List[DataFrame] = []
         done_parts: List[DataFrame] = []
 
-        state = base.filter(is_resource_col(f)).select(
-            "ckey", F.col("focus").alias("cur"), F.lit(0).alias("idx"),
-            F.col("ord").alias("tord"),
-        ).localCheckpoint(eager=True)
+        state = base.where(s_is_resource("focus")).selectExpr(
+            "ckey", "focus AS cur", "0 AS idx", "ord AS tord",
+        ).localCheckpoint(eager=False)
         meta = base.select("ckey", "gid", "fkey", "focus", "ord", "gord",
                            "refk", "lstk", "pfx")
 
+        at_nil_cond = s_term_eq_const("cur", nil)
+        live_res_cond = f"(NOT {at_nil_cond} AND {s_is_resource('cur')})"
+
         it = 0
-        while not state.isEmpty():
+        while True:
+            # ONE job per hop: the stats aggregate materializes the lazy
+            # state checkpoint and answers both emptiness probes at once
+            st = state.agg(
+                F.expr("count(1)").alias("n"),
+                F.expr(f"count(CASE WHEN {live_res_cond} THEN 1 END)")
+                .alias("n_live"),
+            ).collect()[0]
+            if st["n"] == 0:
+                break
             it += 1
             if it > self.max_list_length:
                 walk_fail.append(
-                    state.join(meta, "ckey").select(
-                        "ckey", F.lit(ERR_CYCLIC_MATCH).alias("code"),
-                        F.col("lstk").alias("stack"),
-                        F.col("tord").alias("ford"),
+                    state.join(meta, "ckey").selectExpr(
+                        "ckey", f"{ERR_CYCLIC_MATCH} AS code",
+                        "lstk AS stack", "tord AS ford",
                     )
                 )
                 break
-            at_nil = state.filter(term_eq_const(F.col("cur"), nil))
-            done_parts.append(at_nil.select("ckey", F.col("idx").alias("length")))
-            live = state.filter(~term_eq_const(F.col("cur"), nil))
-            bad = live.filter(~is_resource_col(F.col("cur")))
+            at_nil = state.where(at_nil_cond)
+            done_parts.append(at_nil.selectExpr("ckey", "idx AS length"))
+            live = state.where(f"NOT {at_nil_cond}")
+            bad = live.where(f"NOT {s_is_resource('cur')}")
             walk_fail.append(
-                bad.join(meta, "ckey").select(
-                    "ckey", F.lit(ERR_NON_RESOURCE_TERM).alias("code"),
-                    F.col("lstk").alias("stack"), F.col("tord").alias("ford"),
+                bad.join(meta, "ckey").selectExpr(
+                    "ckey", f"{ERR_NON_RESOURCE_TERM} AS code",
+                    "lstk AS stack", "tord AS ford",
                 )
             )
-            live = live.filter(is_resource_col(F.col("cur")))
-            if live.isEmpty():
+            live = live.where(s_is_resource("cur"))
+            if st["n_live"] == 0:
                 break
 
-            hsrc = live.select("ckey", "idx", F.col("cur").alias("node"), "tord")
+            hsrc = live.selectExpr("ckey", "idx", "cur AS node", "tord")
             hout = eval_path(head_path, hsrc, ["ckey", "idx"], self.triples)
             hagg = hout.groupBy("ckey", "idx").agg(
-                F.count(F.lit(1)).alias("hn"),
-                F.min(F.struct("tord", "node")).alias("h1"),
+                F.expr("count(1)").alias("hn"),
+                F.expr("min(struct(tord, node))").alias("h1"),
             )
             hj = live.join(hagg, ["ckey", "idx"], "left")
-            hn = F.coalesce(F.col("hn"), F.lit(0))
+            hn = "coalesce(hn, 0)"
             walk_fail.append(
-                hj.filter(hn != 1).join(meta, "ckey").select(
+                hj.where(f"({hn}) != 1").join(meta, "ckey").selectExpr(
                     "ckey",
-                    F.when(hn == 0, F.lit(ERR_NO_LIST_HEAD))
-                    .otherwise(F.lit(ERR_MULTIPLE_LIST_HEAD)).alias("code"),
-                    F.col("lstk").alias("stack"), F.col("tord").alias("ford"),
+                    f"CASE WHEN ({hn}) = 0 THEN {ERR_NO_LIST_HEAD} "
+                    f"ELSE {ERR_MULTIPLE_LIST_HEAD} END AS code",
+                    "lstk AS stack", "tord AS ford",
                 )
             )
-            okh = hj.filter(hn == 1)
+            okh = hj.where(f"({hn}) = 1")
             heads_parts.append(
-                okh.select("ckey", "idx", F.col("h1")["node"].alias("head"),
-                           F.col("h1")["tord"].alias("htord"))
+                okh.selectExpr("ckey", "idx", "h1.node AS head",
+                               "h1.tord AS htord")
             )
 
-            tsrc = okh.select("ckey", "idx", F.col("cur").alias("node"), "tord")
+            tsrc = okh.selectExpr("ckey", "idx", "cur AS node", "tord")
             tout = eval_path(tail_path, tsrc, ["ckey", "idx"], self.triples)
             tagg = tout.groupBy("ckey", "idx").agg(
-                F.count(F.lit(1)).alias("tn"),
-                F.min(F.struct("tord", "node")).alias("t1"),
+                F.expr("count(1)").alias("tn"),
+                F.expr("min(struct(tord, node))").alias("t1"),
             )
             tj = okh.join(tagg, ["ckey", "idx"], "left")
-            tn = F.coalesce(F.col("tn"), F.lit(0))
+            tn = "coalesce(tn, 0)"
             walk_fail.append(
-                tj.filter(tn != 1).join(meta, "ckey").select(
+                tj.where(f"({tn}) != 1").join(meta, "ckey").selectExpr(
                     "ckey",
-                    F.when(tn == 0, F.lit(ERR_NO_LIST_TAIL))
-                    .otherwise(F.lit(ERR_MULTIPLE_LIST_TAIL)).alias("code"),
-                    F.col("tord").alias("ford"), F.col("lstk").alias("stack"),
-                ).select("ckey", "code", "stack", "ford")
+                    f"CASE WHEN ({tn}) = 0 THEN {ERR_NO_LIST_TAIL} "
+                    f"ELSE {ERR_MULTIPLE_LIST_TAIL} END AS code",
+                    "lstk AS stack", "tord AS ford",
+                )
             )
-            state = tj.filter(tn == 1).select(
-                "ckey", F.col("t1")["node"].alias("cur"),
-                (F.col("idx") + 1).alias("idx"),
-                F.col("t1")["tord"].alias("tord"),
-            ).localCheckpoint(eager=True)
+            state = tj.where(f"({tn}) = 1").selectExpr(
+                "ckey", "t1.node AS cur", "(idx + 1) AS idx",
+                "t1.tord AS tord",
+            ).localCheckpoint(eager=False)
 
         heads = (
             heads_parts[0] if heads_parts
@@ -1268,54 +1258,50 @@ class FrameEngine:
 
         # item matching: one evaluation site per (list instance, index)
         isite = self._next_site()
-        igid = F.md5(F.concat_ws("\x1e", F.col("ckey"),
-                                 F.col("idx").cast("string"), F.lit(str(isite))))
+        igid = (f"md5(concat_ws({_SEP}, ckey, CAST(idx AS STRING), "
+                f"{s_str(str(isite))}))")
         hm = heads.join(meta, "ckey")
-        childcand = hm.select(
-            igid.alias("gid"), term_key(F.col("head")).alias("fkey"),
-            F.col("head").alias("focus"), F.col("htord").alias("ord"),
-            "refk",
+        childcand = hm.selectExpr(
+            f"{igid} AS gid", f"{s_term_key('head')} AS fkey",
+            "head AS focus", "htord AS ord", "refk",
         )
-        childgroups = hm.select(
-            igid.alias("gid"), F.col("gord"),
-            F.col("pfx").alias("stk"),
-            F.col("idx").cast("string").alias("edge"),
+        childgroups = hm.selectExpr(
+            f"{igid} AS gid", "gord", "pfx AS stk",
+            "CAST(idx AS STRING) AS edge",
         )
         ires = self.compile(shape.item_shape, childcand, childgroups, required)
         iagg = ires.matches.groupBy("gid").agg(
-            F.count(F.lit(1)).alias("inn"),
-            F.min(F.struct("ord", "value")).alias("iv"),
+            F.expr("count(1)").alias("inn"),
+            F.expr("min(struct(ord, value))").alias("iv"),
         )
         immagg = ires.mismatches.groupBy("gid").agg(
-            F.min(F.struct("ord", "code", "stack")).alias("ifm"),
+            F.expr("min(struct(ord, code, stack))").alias("ifm"),
         )
         items = (
-            hm.select("ckey", "idx", igid.alias("gid"), "lstk", "htord")
+            hm.selectExpr("ckey", "idx", f"{igid} AS gid", "lstk", "htord")
             .join(iagg, "gid", "left").join(immagg, "gid", "left")
         )
-        inn = F.coalesce(F.col("inn"), F.lit(0))
-        ifm = F.col("ifm")
-        item_fail = items.filter(ifm.isNotNull() | (inn != 1)).select(
-            "ckey",
-            F.when(ifm.isNotNull(), ifm["code"])
-            .when(inn == 0, F.lit(ERR_NO_LIST_ITEM))
-            .otherwise(F.lit(ERR_MULTIPLE_LIST_ITEM)).alias("code"),
-            F.when(ifm.isNotNull(), ifm["stack"])
-            .otherwise(F.col("lstk")).alias("stack"),
-            F.coalesce(ifm["ord"], F.col("htord")).alias("ford"),
-        )
+        inn = "coalesce(inn, 0)"
+        item_fail = items.where(f"(ifm IS NOT NULL OR ({inn}) != 1)") \
+            .selectExpr(
+                "ckey",
+                f"CASE WHEN ifm IS NOT NULL THEN ifm.code "
+                f"WHEN ({inn}) = 0 THEN {ERR_NO_LIST_ITEM} "
+                f"ELSE {ERR_MULTIPLE_LIST_ITEM} END AS code",
+                "CASE WHEN ifm IS NOT NULL THEN ifm.stack "
+                "ELSE lstk END AS stack",
+                "coalesce(ifm.ord, htord) AS ford",
+            )
         walk_fail.append(item_fail)
 
-        item_ok = items.filter(ifm.isNull() & (inn == 1)).select(
-            "ckey", "idx", F.col("iv")["value"].alias("ivalue"),
+        item_ok = items.where(f"(ifm IS NULL AND ({inn}) = 1)").selectExpr(
+            "ckey", "idx", "iv.value AS ivalue",
         )
         assembled = item_ok.groupBy("ckey").agg(
-            F.count(F.lit(1)).alias("ni"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "ivalue"))),
-                    lambda x: F.coalesce(x["ivalue"], F.lit("null")),
-                ), ",",
+            F.expr("count(1)").alias("ni"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(idx, ivalue))), x -> coalesce(x.ivalue, 'null')), ',')"
             ).alias("body"),
         )
 
@@ -1323,7 +1309,7 @@ class FrameEngine:
         for wf in walk_fail[1:]:
             fails = fails.unionAll(wf)
         first_fail = fails.groupBy("ckey").agg(
-            F.min(F.struct("ford", "code", "stack")).alias("wf"),
+            F.expr("min(struct(ford, code, stack))").alias("wf"),
         )
 
         done = (
@@ -1338,20 +1324,17 @@ class FrameEngine:
             .join(assembled, "ckey", "left")
             .join(first_fail, "ckey", "left")
         )
-        ni = F.coalesce(F.col("ni"), F.lit(0))
-        complete = F.col("length").isNotNull() & F.col("wf").isNull() & (
-            ni == F.col("length")
+        complete = ("(length IS NOT NULL AND wf IS NULL "
+                    "AND coalesce(ni, 0) = length)")
+        matches = out.where(complete).selectExpr(
+            "gid", "fkey", "focus", "'' AS vkey", "ord",
+            "concat('[', coalesce(body, ''), ']') AS value",
         )
-        matches = out.filter(complete).select(
-            "gid", "fkey", "focus", F.lit("").alias("vkey"), "ord",
-            F.concat(F.lit("["), F.coalesce(F.col("body"), F.lit("")),
-                     F.lit("]")).alias("value"),
-        )
-        mism = out.filter(~complete).select(
+        mism = out.where(f"NOT {complete}").selectExpr(
             "gid", "fkey", "focus",
-            F.coalesce(F.col("wf")["ford"], F.col("ord")).alias("ord"), "gord",
-            F.coalesce(F.col("wf")["code"], F.lit(ERR_NO_LIST_TAIL)).alias("code"),
-            F.coalesce(F.col("wf")["stack"], F.col("lstk")).alias("stack"),
+            "coalesce(wf.ford, ord) AS ord", "gord",
+            f"coalesce(wf.code, {ERR_NO_LIST_TAIL}) AS code",
+            "coalesce(wf.stack, lstk) AS stack",
         )
         return Result(matches, mism, per_group=False)
 
@@ -1361,18 +1344,16 @@ class FrameEngine:
     def _compile_map(self, shape: MapShape, cand: DataFrame,
                      groups: DataFrame, required: bool) -> Result:
         site = self._next_site()
-        own_frame = self._frame_json(shape, F.col("edge"), None)
-        stk2 = F.when(F.col("stk") == "", own_frame).otherwise(
-            F.concat(F.col("stk"), F.lit(","), own_frame)
-        )
-        groups2 = groups.select(
-            "gid", "gord", stk2.alias("stk"),
-            F.lit(None).cast("string").alias("edge"),
+        own_frame = self._s_frame_json(shape, "edge", None)
+        groups2 = groups.selectExpr(
+            "gid", "gord",
+            f"(CASE WHEN stk = '' THEN {own_frame} "
+            f"ELSE concat(stk, ',', {own_frame}) END) AS stk",
+            "CAST(NULL AS STRING) AS edge",
         )
         cand2 = cand.withColumn(
             "refk",
-            F.md5(F.concat_ws("\x1e", F.col("gid"), F.col("fkey"),
-                              F.lit(str(site)))),
+            F.expr(f"md5(concat_ws({_SEP}, gid, fkey, {s_str(str(site))}))"),
         )
         key_target = shape.key.target.key()
         self._collectors.setdefault(key_target, [])
@@ -1386,63 +1367,45 @@ class FrameEngine:
             for cdf in captured[1:]:
                 keys = keys.unionAll(cdf)
         part = shape.key.part
-        kf = F.col("kfocus")
-        if part == "value":
-            key_str = kf["value"]
-        elif part == "datatype":
-            key_str = kf["dt"]
-        elif part == "language":
-            key_str = kf["lang"]
-        else:
-            key_str = kf["value"]
         keys = keys.groupBy("refk").agg(
-            F.max(F.struct("kord", kf.alias("kfocus"))).alias("kk")
-        ).select("refk", F.col("kk")["kfocus"].alias("kfocus"))
+            F.expr("max(struct(kord, kfocus))").alias("kk")
+        ).selectExpr("refk", "kk.kfocus AS kfocus")
 
         im = ires.matches.join(
-            cand2.select(F.col("gid").alias("g2"), F.col("fkey").alias("f2"),
-                         "refk"),
+            cand2.selectExpr("gid AS g2", "fkey AS f2", "refk"),
             (F.col("gid") == F.col("g2")) & (F.col("fkey") == F.col("f2")),
         ).join(keys, "refk", "left")
-        kf = F.col("kfocus")
         key_col = (
-            kf["value"] if part in (None, "value") else
-            kf["dt"] if part == "datatype" else kf["lang"]
+            "(kfocus).value" if part in (None, "value") else
+            "(kfocus).dt" if part == "datatype" else "(kfocus).lang"
         )
-        entries = im.select(
+        entries = im.selectExpr(
             "gid",
-            F.concat(json_quote_expr(key_col), F.lit(":"),
-                     F.coalesce(F.col("value"), F.lit("null"))).alias("entry"),
+            f"concat({s_json_quote(key_col)}, ':', "
+            f"coalesce(value, 'null')) AS entry",
             "ord",
         )
         eagg = entries.groupBy("gid").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("ord", "entry"))),
-                    lambda x: x["entry"],
-                ), ",",
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ord, entry))), x -> x.entry), ',')"
             ).alias("body"),
         )
         base = groups.select("gid", "gord")
         out = base.join(eagg, "gid", "left")
-        matches = out.select(
-            "gid", F.lit(None).cast("string").alias("fkey"),
-            F.lit(None).cast(
-                "struct<kind:string,value:string,dt:string,lang:string>"
-            ).alias("focus"),
-            F.lit("").alias("vkey"), F.col("gord").alias("ord"),
-            F.concat(F.lit("{"), F.coalesce(F.col("body"), F.lit("")),
-                     F.lit("}")).alias("value"),
+        matches = out.selectExpr(
+            "gid", "CAST(NULL AS STRING) AS fkey",
+            f"{NULL_TERM_SQL} AS focus",
+            "'' AS vkey", "gord AS ord",
+            "concat('{', coalesce(body, ''), '}') AS value",
         )
         mmagg = ires.mismatches.groupBy("gid").agg(
-            F.min(F.struct("ord", "code", "stack")).alias("fm"))
-        mism = base.join(mmagg, "gid").select(
-            "gid", F.lit(None).cast("string").alias("fkey"),
-            F.lit(None).cast(
-                "struct<kind:string,value:string,dt:string,lang:string>"
-            ).alias("focus"),
-            F.col("fm")["ord"].alias("ord"), "gord",
-            F.col("fm")["code"].alias("code"), F.col("fm")["stack"].alias("stack"),
+            F.expr("min(struct(ord, code, stack))").alias("fm"))
+        mism = base.join(mmagg, "gid").selectExpr(
+            "gid", "CAST(NULL AS STRING) AS fkey",
+            f"{NULL_TERM_SQL} AS focus",
+            "fm.ord AS ord", "gord",
+            "fm.code AS code", "fm.stack AS stack",
         )
         matches = matches.join(mism.select("gid"), "gid", "left_anti")
         return Result(matches, mism, per_group=True)
@@ -1479,22 +1442,21 @@ class FrameEngine:
         key = shape.id.key()
         if key in self._collectors:
             self._collectors[key].append(
-                matched.filter(F.col("refk").isNotNull()).select(
-                    "refk", F.col("focus").alias("kfocus"),
-                    F.col("ord").alias("kord"),
+                matched.where("refk IS NOT NULL").selectExpr(
+                    "refk", "focus AS kfocus", "ord AS kord",
                 )
             )
 
     def _computed_fragments(
         self, shape: RecordShape, acc: DataFrame
-    ) -> Tuple[DataFrame, List[Column]]:
-        frags: List[Column] = []
+    ) -> Tuple[DataFrame, List[str]]:
+        frags: List[str] = []
         for j, cp in enumerate(shape.computed_properties):
             vshape = self.catalog.get(cp.value_shape)
             if isinstance(vshape, (ResourceShape, LiteralShape)) and \
                     vshape.value is not None:
                 const = self._constant_value_json(vshape)
-                frags.append(F.lit(jstr(cp.name) + ":" + const))
+                frags.append(s_str(jstr(cp.name) + ":" + const))
                 continue
             targets = self._open_ref_targets(cp.value_shape)
             if not targets:
@@ -1509,41 +1471,42 @@ class FrameEngine:
                 cdf = cdf.unionAll(extra)
             # last write wins (frame.ts:186-190 ref assignment ordering)
             picked = cdf.groupBy("refk").agg(
-                F.max(F.struct("kord", "kfocus")).alias("kk")
-            ).select(
-                F.col("refk").alias(f"__rk{j}"),
-                F.col("kk")["kfocus"].alias(f"__kf{j}"),
+                F.expr("max(struct(kord, kfocus))").alias("kk")
+            ).selectExpr(
+                f"refk AS __rk{j}",
+                f"kk.kfocus AS __kf{j}",
             )
             acc = acc.join(picked, acc["ckey"] == picked[f"__rk{j}"], "left")
-            valcol = self._synthesized_value(vshape, F.col(f"__kf{j}"))
+            valcol = self._s_synthesized_value(vshape, f"__kf{j}")
             frags.append(
-                F.when(
-                    F.col(f"__kf{j}").isNotNull(),
-                    F.concat(F.lit(jstr(cp.name) + ":"), valcol),
-                )
+                f"CASE WHEN __kf{j} IS NOT NULL THEN "
+                f"concat({s_str(jstr(cp.name) + ':')}, {valcol}) END"
             )
         return acc, frags
 
-    def _synthesized_value(self, vshape, kfocus: Column) -> Column:
+    def _s_synthesized_value(self, vshape, kfocus: str) -> str:
         """synthesizeLiteral/Resource from a captured raw term
         (synthesize.ts:129-204) followed by fromRdf value mapping."""
         if isinstance(vshape, LiteralShape):
             dt = vshape.effective_datatype()
-            v = kfocus["value"]
+            v = f"({kfocus}).value"
             if dt == XSD_STRING or (dt == RDF_LANG_STRING and vshape.language):
-                return json_quote_expr(v)
+                return s_json_quote(v)
             if dt == XSD_BOOLEAN:
-                return F.when(v != "false", F.lit("true")).otherwise(F.lit("false"))
+                return (f"CASE WHEN {v} != 'false' "
+                        f"THEN 'true' ELSE 'false' END")
             if dt in INTEGER_TYPES:
-                return v.cast("long").cast("string")
+                return f"CAST(CAST({v} AS BIGINT) AS STRING)"
             if dt in FRACTIONAL_TYPES:
-                return v.cast("double").cast("string")
-            return json_quote_expr(v)
+                return f"CAST(CAST({v} AS DOUBLE) AS STRING)"
+            return s_json_quote(v)
         # resource
-        return F.when(
-            kfocus["kind"] == "bnode",
-            json_quote_expr(F.concat(F.lit("_:"), kfocus["value"])),
-        ).otherwise(json_quote_expr(kfocus["value"]))
+        bn = s_json_quote(f"concat('_:', ({kfocus}).value)")
+        plain = s_json_quote(f"({kfocus}).value")
+        return (
+            f"CASE WHEN ({kfocus}).kind = 'bnode' "
+            f"THEN {bn} ELSE {plain} END"
+        )
 
     def _constant_value_json(self, vshape) -> str:
         const = vshape.value

@@ -105,7 +105,8 @@ def q_frame_supplier_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             prop("nation", EX + "locatedIn", nation),
         ],
     )
-    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir))
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
+                         diagnostics=False)
     res = engine.frame(supplier)
     return res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -137,7 +138,8 @@ def q_frame_nation_suppliers_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                  b.set_of(b.resource(only_named=True))),
         ],
     )
-    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir))
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
+                         diagnostics=False)
     res = engine.frame(nation)
     parsed = res.matches.select(
         F.get_json_object("value", "$.name").alias("n_name"),
@@ -190,7 +192,8 @@ def q_frame_order_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                  b.optional(b.literal(datatype=XSD_STRING))),
         ],
     )
-    engine = FrameEngine(spark, b.catalog, orders_graph(spark, sf_dir))
+    engine = FrameEngine(spark, b.catalog, orders_graph(spark, sf_dir),
+                         diagnostics=False)
     res = engine.frame(order)
     return res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -224,7 +227,8 @@ def q_path_sequence_region(spark: SparkSession, sf_dir: str) -> DataFrame:
                  b.resource(only_named=True)),
         ],
     )
-    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir))
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
+                         diagnostics=False)
     res = engine.frame(supplier)
     return res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -291,7 +295,8 @@ def q_path_closure_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     engine = FrameEngine(spark, b.catalog,
-                         lineitem_chain_graph(spark, sf_dir))
+                         lineitem_chain_graph(spark, sf_dir),
+                         diagnostics=False)
     res = engine.frame(line)
     parsed = res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -341,7 +346,8 @@ def q_flatten_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             prop("nation", EX + "locatedIn", nation),
         ],
     )
-    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir))
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
+                         diagnostics=False)
     res = engine.frame(supplier)
     values = res.matches.select(
         F.get_json_object("value", "$.id").alias("seed"), "value"

@@ -136,12 +136,15 @@ def eval_path(
                 )
             else:
                 new = step
-            new = _dedup(new, keys).localCheckpoint(eager=True)
-            if new.isEmpty():
+            # lazy checkpoint + count: ONE job per iteration materializes
+            # the frontier, cuts lineage and probes emptiness together
+            new = _dedup(new, keys).localCheckpoint(eager=False)
+            if new.count() == 0:
                 break
             result = _dedup(result.unionAll(new), keys) if result is not None else new
             if iterations % 4 == 0:
-                result = result.localCheckpoint(eager=True)
+                # lazy: the next iteration's anti-join job materializes it
+                result = result.localCheckpoint(eager=False)
             if once:
                 break
             frontier = new

@@ -15,12 +15,17 @@ all edges):
   (map-side) aggregation already collapses hot keys before shuffle;
 * the per-round neighbor join broadcasts a **hot-node dictionary**: the
   top-K highest-degree nodes' current minima ship as a broadcast map,
-  so hot-key rows resolve map-side and never shuffle;
-* AQE skew-join splitting stays on for the residual joins.
+  so hot-key rows resolve map-side and never shuffle.  The hot *set*
+  (which node ids are hot) is derived ONCE from the input edge degrees
+  before the loop — star rounds only shrink a node's neighborhood, so
+  the initial top-K covers every later round's skew — and only the
+  per-round minima lookup for that fixed set runs inside the loop;
+* AQE skew-join splitting stays on for the residual joins (the engine
+  never touches session confs).
 
-Driver loop uses ``localCheckpoint`` per round to cut lineage (the
-iterative-algorithm pattern shared with the frame engine's closure
-paths).
+Driver loop cost: exactly ONE action per round — the convergence
+signature aggregate, which also materializes that round's lazy
+``localCheckpoint`` (lineage cut and convergence probe share a job).
 """
 
 from __future__ import annotations
@@ -51,38 +56,21 @@ def _min_nbr(nbrs: DataFrame) -> DataFrame:
 
 
 def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
-                hot_k: int) -> DataFrame:
+                hot_nodes: DataFrame | None) -> DataFrame:
     """One star round: connect (a subset of) neighbors to the group
-    minimum.  Hot nodes' minima resolve via a broadcast dictionary."""
+    minimum.  Hot nodes' minima resolve via a broadcast map-join (no
+    shuffle on the hot keys); the residual join shuffles on ``n`` with
+    the hot rows removed, so the Zipf head never lands on one reducer."""
     cond = (F.col("x") > F.col("n")) if large else (F.col("x") < F.col("n"))
     part = nbrs.filter(cond)
 
-    if hot_k <= 0:
-        joined = part.join(
-            minn.withColumnRenamed("n", "__jn"), F.col("n") == F.col("__jn")
-        ).select(F.col("x").alias("src"), F.col("m").alias("dst"))
-        if not large:
-            joined = joined.unionAll(
-                minn.select(F.col("n").alias("src"), F.col("m").alias("dst"))
-            )
-        return joined.filter(F.col("src") != F.col("dst")).distinct()
-
-    hot = (
-        nbrs.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
-        .orderBy(F.desc("deg")).limit(hot_k)
-        .join(minn, "n")
-        .select("n", "m")
-    )
-    hot_rows = hot.collect()
-    if hot_rows:
-        hot_map = F.create_map(
-            *[F.lit(v) for row in hot_rows for v in (row["n"], row["m"])]
-        )
-        part = part.withColumn("__hm", hot_map.getItem(F.col("n")))
-        resolved = part.filter(F.col("__hm").isNotNull()).select(
-            F.col("x").alias("src"), F.col("__hm").alias("dst")
-        )
-        rest = part.filter(F.col("__hm").isNull()).drop("__hm")
+    if hot_nodes is not None:
+        hot_minn = F.broadcast(minn.join(hot_nodes, "n").select("n", "m"))
+        resolved = part.join(
+            hot_minn.withColumnRenamed("n", "__hn").withColumnRenamed("m", "__hm"),
+            F.col("n") == F.col("__hn"),
+        ).select(F.col("x").alias("src"), F.col("__hm").alias("dst"))
+        rest = part.join(F.broadcast(hot_nodes), "n", "left_anti")
     else:
         resolved = None
         rest = part
@@ -101,21 +89,32 @@ def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
 def connected_components(edges: DataFrame, hot_k: int = 64) -> DataFrame:
     """(node, component) for every node in ``edges`` (src/dst string
     columns); component = lexicographic minimum of the component."""
-    try:
-        edges.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
-    except Exception:
-        pass
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
-        .distinct().localCheckpoint(eager=True)
+        .distinct().localCheckpoint(eager=False)
+
+    # hot set: top-K degrees of the INPUT graph, computed once — the
+    # first action also materializes the deduped edge checkpoint
+    hot_nodes = None
+    if hot_k > 0:
+        hot_rows = (
+            _nbrs(cur).groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+            .orderBy(F.desc("deg"), "n").limit(hot_k).select("n").collect()
+        )
+        if hot_rows:
+            hot_nodes = edges.sparkSession.createDataFrame(
+                [(r["n"],) for r in hot_rows], "n string")
+
     prev_sig = None
     for _ in range(MAX_ROUNDS):
         nbrs = _nbrs(cur)
         minn = _min_nbr(nbrs)
-        cur = _apply_star(nbrs, minn, large=True, hot_k=hot_k)
+        cur = _apply_star(nbrs, minn, large=True, hot_nodes=hot_nodes)
         nbrs = _nbrs(cur)
         minn = _min_nbr(nbrs)
-        cur = _apply_star(nbrs, minn, large=False, hot_k=hot_k) \
-            .localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregate below materializes it,
+        # so each round costs exactly one job
+        cur = _apply_star(nbrs, minn, large=False, hot_nodes=hot_nodes) \
+            .localCheckpoint(eager=False)
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),

@@ -170,7 +170,10 @@ def run_pipeline(
     ext = extraction_triples(turns, scored).persist()
 
     catalog, turn_shape = build_kg_catalog()
-    engine = FrameEngine(spark, catalog, ext)
+    # diagnostics=False: error rows keep codes (routed/counted
+    # downstream) but skip shape-stack string assembly — the stacks are
+    # debug-only and dominate compiled-plan size
+    engine = FrameEngine(spark, catalog, ext, diagnostics=False)
     framed = engine.frame(turn_shape)
 
     values = framed.matches.select(

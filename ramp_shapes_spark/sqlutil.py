@@ -92,3 +92,94 @@ def term_json_col(term: Column) -> Column:
 
 def jstr(value) -> str:
     return json.dumps(value, ensure_ascii=False)
+
+
+# ---------------------------------------------------------------------------
+# SQL-expression-STRING builders.
+#
+# The frame compiler composes thousands of scalar expressions; building
+# them as ``Column`` objects costs one Py4J roundtrip per node (~2 ms on
+# a microVM → tens of seconds per query just to *construct* the plan).
+# Building them as SQL strings is pure Python; the JVM parses the final
+# expression once per ``F.expr``/``selectExpr`` call.  Semantics are
+# identical — both forms resolve to the same Catalyst trees.
+# ---------------------------------------------------------------------------
+
+TERM_SQL = "struct<kind:string,value:string,dt:string,lang:string>"
+NULL_TERM_SQL = f"CAST(NULL AS {TERM_SQL})"
+OBJS_SQL = f"array<struct<tid:bigint,o:{TERM_SQL}>>"
+EMPTY_OBJS_SQL = f"CAST(array() AS {OBJS_SQL})"
+
+
+def s_str(v: str) -> str:
+    """SQL single-quoted string literal with full escaping (backslash,
+    quote, control characters via ``\\uXXXX``)."""
+    out = []
+    for ch in v:
+        o = ord(ch)
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif o < 32 or o == 127:
+            out.append("\\u%04X" % o)
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
+def s_json_quote(e: str) -> str:
+    """String variant of :func:`json_quote_expr`."""
+    j = f"to_json(struct(({e}) AS v))"
+    return f"substring({j}, 6, length({j}) - 6)"
+
+
+def s_n3(t: str) -> str:
+    """String variant of :func:`n3_col` (term display form)."""
+    esc = f"({t}).value"
+    for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r")):
+        esc = f"replace({esc}, {s_str(a)}, {s_str(b)})"
+    return (
+        f"CASE WHEN ({t}).kind = 'iri' THEN concat('<', ({t}).value, '>') "
+        f"WHEN ({t}).kind = 'bnode' THEN concat('_:', ({t}).value) "
+        f"ELSE concat('\"', {esc}, '\"', "
+        f"CASE WHEN ({t}).lang IS NOT NULL THEN concat('@', ({t}).lang) "
+        f"ELSE concat('^^<', ({t}).dt, '>') END) END"
+    )
+
+
+def s_term_key(t: str) -> str:
+    """String variant of :func:`term_key`."""
+    nul = s_str("\x00")
+    return (
+        f"concat_ws({s_str(chr(31))}, ({t}).kind, ({t}).value, "
+        f"coalesce(({t}).dt, {nul}), coalesce(({t}).lang, {nul}))"
+    )
+
+
+def s_term_eq_const(t: str, const: Term) -> str:
+    parts = [
+        f"({t}).kind = {s_str(const.kind)}",
+        f"({t}).value = {s_str(const.value)}",
+        f"({t}).dt IS NULL" if const.dt is None
+        else f"({t}).dt = {s_str(const.dt)}",
+        f"({t}).lang IS NULL" if const.lang is None
+        else f"({t}).lang = {s_str(const.lang)}",
+    ]
+    return "(" + " AND ".join(parts) + ")"
+
+
+def s_is_resource(t: str) -> str:
+    return f"(({t}).kind IN ('iri', 'bnode'))"
+
+
+def s_term_json(t: str) -> str:
+    """String variant of :func:`term_json_col`."""
+    return (
+        "concat('{\"@term\":{\"kind\":', " + s_json_quote(f"({t}).kind")
+        + ", ',\"value\":', " + s_json_quote(f"({t}).value")
+        + f", CASE WHEN ({t}).dt IS NOT NULL THEN concat(',\"dt\":', "
+        + s_json_quote(f"({t}).dt") + ") ELSE '' END"
+        + f", CASE WHEN ({t}).lang IS NOT NULL THEN concat(',\"lang\":', "
+        + s_json_quote(f"({t}).lang") + ") ELSE '' END, '}}')"
+    )

@@ -25,7 +25,10 @@ cpus, n_conv, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.shuffle.partitions", cpus)
-         .config("spark.sql.adaptive.enabled", "false")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                 "false")
+         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "40g")
          .appName(f"scaling-{cpus}").getOrCreate())
