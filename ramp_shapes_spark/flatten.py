@@ -91,9 +91,19 @@ def flatten_triples(df: DataFrame, catalog: ShapeCatalog, root: ShapeID,
                     value_col: str = "value",
                     seed_col: Optional[str] = None) -> DataFrame:
     """Successful triples only, deduplicated, in the engine's canonical
-    (tid, s, p, o) layout (rdf-dataset insert-dedup analog)."""
-    flat = flatten_df(df, catalog, root, value_col, seed_col)
-    good = flat.filter(F.col("err_code").isNull())
+    (tid, s, p, o) layout (rdf-dataset insert-dedup analog).
+
+    Shapes inside the acyclic relational fragment compile to a pure
+    JVM emitter (:mod:`ramp_shapes_spark.relational_flatten` — no
+    Python in the hot path); anything else falls back to the
+    Arrow-batched interpreter."""
+    from .relational_flatten import UnsupportedShape, flatten_relational
+
+    try:
+        good = flatten_relational(df, catalog, root, value_col, seed_col)
+    except UnsupportedShape:
+        flat = flatten_df(df, catalog, root, value_col, seed_col)
+        good = flat.filter(F.col("err_code").isNull())
     # tid is only an iteration-order surrogate; a partition-local id
     # avoids the global sort a row_number() would force at scale
     return (

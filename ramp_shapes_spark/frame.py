@@ -111,10 +111,24 @@ class Result:
     per_group: bool = False
 
 
-@dataclass
 class FrameResult:
-    matches: DataFrame  # (focus TERM, ord long, value string)
-    errors: DataFrame   # (code int, stack string, gord, ord, site)
+    """``matches``: (focus TERM, ord long, value string);
+    ``errors``: (code int, stack string, gord, ord, site).
+
+    The error union is assembled lazily on first access — consumers
+    that never read the channel (pipelines, benchmarks) skip the
+    analyzer cost of the N-way union entirely."""
+
+    def __init__(self, matches: DataFrame, errors_thunk) -> None:
+        self.matches = matches
+        self._errors_thunk = errors_thunk
+        self._errors: Optional[DataFrame] = None
+
+    @property
+    def errors(self) -> DataFrame:
+        if self._errors is None:
+            self._errors = self._errors_thunk()
+        return self._errors
 
     def first_error(self) -> Optional[Tuple[int, list]]:
         row = (
@@ -195,19 +209,23 @@ class FrameEngine:
         matches = res.matches.select("focus", "ord", "value")
         if ordered:
             matches = matches.orderBy("ord")
-        errors = self._collect_errors()
-        return FrameResult(matches=matches, errors=errors)
+        errs = list(self._errors)
+        return FrameResult(matches, lambda: self._collect_errors(errs))
 
     def universe(self) -> DataFrame:
         if self._universe is None:
-            self._universe = all_candidate_terms(self.triples).persist()
+            # lazy checkpoint: truncates the logical plan to a LogicalRDD
+            # so every downstream op analyzes a tiny tree (classic-mode
+            # analysis runs per DataFrame call and is O(plan size))
+            self._universe = all_candidate_terms(self.triples) \
+                .localCheckpoint(eager=False)
         return self._universe
 
-    def _collect_errors(self) -> DataFrame:
-        if not self._errors:
+    def _collect_errors(self, errs: List[DataFrame]) -> DataFrame:
+        if not errs:
             return self.spark.createDataFrame([], ERROR_FIELDS)
-        out = self._errors[0]
-        for df in self._errors[1:]:
+        out = errs[0]
+        for df in errs[1:]:
             out = out.unionAll(df)
         return out
 
@@ -430,7 +448,7 @@ class FrameEngine:
             self._sp_gather = by_p.groupBy("skey").agg(
                 F.expr("map_from_entries(collect_list(struct(p, objs)))")
                 .alias("__pmap")
-            ).persist()
+            ).localCheckpoint(eager=False)
         return self._sp_gather
 
     def _fast_kind(self, prop: Property) -> Optional[Tuple[str, Shape, Shape]]:
@@ -639,7 +657,10 @@ class FrameEngine:
                 stat_exprs.append(f"({st}) AS __st{i}")
         if len(stat_exprs) > 1:
             rc = rc.selectExpr(*stat_exprs)
-        rc = rc.persist()
+        # lazy checkpoint (not persist): rc is re-referenced by a dozen
+        # downstream ops; truncating its plan to a LogicalRDD makes each
+        # of those analyses O(1) instead of O(upstream plan)
+        rc = rc.localCheckpoint(eager=False)
         gated = required or bool(shape.type_properties)
         n_type = len(shape.type_properties)
 
@@ -697,7 +718,7 @@ class FrameEngine:
             ).where("code IS NOT NULL")
 
         if any(e[0] == "slow" for _, e in tstats):
-            gate_ok = gate_ok.persist()
+            gate_ok = gate_ok.localCheckpoint(eager=False)
 
         # --- regular properties (strict once the gate matched)
         site_required = required or bool(shape.type_properties)
@@ -974,26 +995,23 @@ class FrameEngine:
             "concat('[', coalesce(items, ''), ']') AS value",
         )
 
-        mism_inherit = out.where("fm IS NOT NULL").selectExpr(
+        # single select: inherited item failure OR count-bound failure
+        # (one plan node instead of a 2-3-way union)
+        count_fail = f"({n}) < {min_c}"
+        count_code = (f"CASE WHEN ({n}) < {min_c} THEN {ERR_MIN_COUNT} "
+                      f"ELSE {ERR_MAX_COUNT} END")
+        if max_c is not None:
+            count_fail = f"({count_fail} OR ({n}) > {max_c})"
+        mism = out.where(f"(fm IS NOT NULL OR {count_fail})").selectExpr(
             "gid", "CAST(NULL AS STRING) AS fkey",
             f"{NULL_TERM_SQL} AS focus",
-            "fm.ord AS ord", "gord",
-            "fm.code AS code", "fm.stack AS stack",
+            "CASE WHEN fm IS NOT NULL THEN fm.ord ELSE gord END AS ord",
+            "gord",
+            f"CASE WHEN fm IS NOT NULL THEN fm.code "
+            f"ELSE {count_code} END AS code",
+            "CASE WHEN fm IS NOT NULL THEN fm.stack "
+            "ELSE setstack END AS stack",
         )
-        count_conds = [(f"(fm IS NULL AND ({n}) < {min_c})", ERR_MIN_COUNT)]
-        if max_c is not None:
-            count_conds.append(
-                (f"(fm IS NULL AND ({n}) > {max_c})", ERR_MAX_COUNT))
-        mism = mism_inherit
-        for cond, code in count_conds:
-            mism = mism.unionAll(
-                out.where(cond).selectExpr(
-                    "gid", "CAST(NULL AS STRING) AS fkey",
-                    f"{NULL_TERM_SQL} AS focus",
-                    "gord AS ord", "gord",
-                    f"{code} AS code", "setstack AS stack",
-                )
-            )
         return Result(matches, mism, per_group=True)
 
     # ------------------------------------------------------------------
@@ -1077,7 +1095,7 @@ class FrameEngine:
         cand = uni.selectExpr(
             "'u' AS gid", f"{s_term_key('focus')} AS fkey",
             "focus", "ord", "CAST(NULL AS STRING) AS refk",
-        ).persist()
+        ).localCheckpoint(eager=False)
         groups = self.spark.createDataFrame(
             [("u", 0, "", None)],
             "gid string, gord long, stk string, edge string",
@@ -1151,7 +1169,7 @@ class FrameEngine:
             f"{lstk} AS lstk",
             f"({pfx}) AS pfx",
             f"md5(concat_ws({_SEP}, gid, fkey, {s_str(str(site))})) AS ckey",
-        ).persist()
+        ).localCheckpoint(eager=False)
 
         nonres0 = base.where(f"NOT {s_is_resource('focus')}")
         walk_fail: List[DataFrame] = [

@@ -39,10 +39,14 @@ MAX_ROUNDS = 50
 
 
 def _nbrs(edges: DataFrame) -> DataFrame:
-    """Undirected adjacency (n, x), self-loops removed."""
+    """Undirected adjacency (n, x), self-loops removed.
+
+    NOT deduplicated: every consumer (min aggregation, degree ranking,
+    star connection followed by a final ``distinct``) is duplicate-
+    tolerant, and skipping the dedup saves one full shuffle per use."""
     fwd = edges.select(F.col("src").alias("n"), F.col("dst").alias("x"))
     rev = edges.select(F.col("dst").alias("n"), F.col("src").alias("x"))
-    return fwd.unionAll(rev).filter(F.col("n") != F.col("x")).distinct()
+    return fwd.unionAll(rev).filter(F.col("n") != F.col("x"))
 
 
 def _min_nbr(nbrs: DataFrame) -> DataFrame:

@@ -153,9 +153,13 @@ def canonicalize_triples(triples: DataFrame, node_map: DataFrame) -> DataFrame:
 @dataclass
 class PipelineResult:
     framed: DataFrame         # (focus, ord, value)
-    frame_errors: DataFrame
+    frame_result: "object"    # FrameResult (errors assembled lazily)
     triples: DataFrame        # canonical (tid, s, p, o)
     metrics: Dict
+
+    @property
+    def frame_errors(self) -> DataFrame:
+        return self.frame_result.errors
 
 
 def run_pipeline(
@@ -191,6 +195,6 @@ def run_pipeline(
             input_fingerprint=input_fingerprint, spark=spark,
         )
     return PipelineResult(
-        framed=framed.matches, frame_errors=framed.errors,
+        framed=framed.matches, frame_result=framed,
         triples=canonical, metrics=metrics,
     )

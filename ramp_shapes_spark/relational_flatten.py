@@ -1,0 +1,414 @@
+"""Relational flatten: framed JSON values → triples without Python.
+
+The generic flatten path (:mod:`ramp_shapes_spark.flatten`) runs the
+reference-semantics interpreter per row inside ``mapInPandas`` — the
+right fallback for any shape, but a Python-CPU wall on the single most
+row-multiplying stage of a 100 TB pipeline.  For the acyclic shape
+fragment that covers real pipelines (records, sets, optionals,
+resource/literal leaves, constant type-properties, forward/inverse
+predicate paths — reference semantics flatten.ts:200-248, 302-357,
+386-443), this module *compiles* the shape into a single JVM
+expression:
+
+    from_json(value, <schema derived from the shape>)
+      → array<struct<s,p,o>> assembled with concat/transform
+      → one explode
+
+One narrow scan, whole-stage codegen end to end, no shuffle, no Python
+worker.  Shapes outside the fragment raise :class:`UnsupportedShape`
+and callers fall back to the interpreter.
+
+Blank-node ids are BYTE-IDENTICAL to the interpreter's
+(:func:`ramp_shapes_spark.pyflatten.deterministic_bnode_generator`:
+``{prefix}_{sha1(seed)[:12]}_{counter}``): the compiler statically
+derives each blank node's generation-order counter (children before
+parent subject, properties in declaration order — flatten.ts:200-217),
+so either execution path emits the same graph and materialized
+fingerprints stay stable.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DataType, DoubleType, LongType, StringType,
+    StructField, StructType,
+)
+
+from .shapes import (
+    InversePath, LiteralShape, OptionalShape, PredicatePath, RecordShape,
+    ResourceShape, SetShape, ShapeCatalog, ShapeID, is_self_path,
+)
+from .sqlutil import s_str
+from .terms import (
+    FRACTIONAL_TYPES, INTEGER_TYPES, RDF_LANG_STRING, Term, XSD_BOOLEAN,
+    XSD_STRING,
+)
+
+TERM_SQL = "struct<kind:string,value:string,dt:string,lang:string>"
+TRIPLE_SQL = f"struct<s:{TERM_SQL},p:string,o:{TERM_SQL}>"
+EMPTY_TRIPLES = f"CAST(array() AS array<{TRIPLE_SQL}>)"
+
+
+class UnsupportedShape(Exception):
+    """Shape uses a construct outside the relational-flatten fragment."""
+
+
+# ---------------------------------------------------------------------------
+# schema derivation (the typed projection of a framed JSON value)
+# ---------------------------------------------------------------------------
+
+def shape_struct_type(catalog: ShapeCatalog, sid: ShapeID,
+                      _seen: Optional[set] = None) -> DataType:
+    """Spark type of the framed value of ``sid`` (acyclic fragment)."""
+    seen = set(_seen or ())
+    key = sid.key()
+    if key in seen:
+        raise UnsupportedShape(f"recursive shape {sid!r}")
+    seen.add(key)
+    shape = catalog.get(sid)
+    if isinstance(shape, RecordShape):
+        fields = []
+        for p in shape.type_properties + shape.properties:
+            if p.transient:
+                continue
+            fields.append(StructField(
+                p.name, shape_struct_type(catalog, p.value_shape, seen), True))
+        return StructType(fields)
+    if isinstance(shape, SetShape):
+        return ArrayType(shape_struct_type(catalog, shape.item_shape, seen))
+    if isinstance(shape, OptionalShape):
+        return shape_struct_type(catalog, shape.item_shape, seen)
+    if isinstance(shape, ResourceShape):
+        if shape.keep_as_term or shape.vocabulary is not None:
+            raise UnsupportedShape("keepAsTerm/vocabulary resource")
+        return StringType()
+    if isinstance(shape, LiteralShape):
+        if shape.keep_as_term:
+            raise UnsupportedShape("keepAsTerm literal")
+        dt = shape.effective_datatype()
+        if dt == XSD_STRING or (dt == RDF_LANG_STRING and shape.language):
+            return StringType()
+        if dt == XSD_BOOLEAN:
+            return BooleanType()
+        if dt in INTEGER_TYPES:
+            return LongType()
+        if dt in FRACTIONAL_TYPES:
+            return DoubleType()
+        raise UnsupportedShape(f"literal datatype {dt}")
+    raise UnsupportedShape(f"{shape.type} shape")
+
+
+# ---------------------------------------------------------------------------
+# expression builders
+# ---------------------------------------------------------------------------
+
+def _iri_or_bnode(e: str) -> str:
+    """toRdf for a resource-valued string (value-mapping.ts:152-170):
+    '_:x' decodes to a blank node, anything else to an IRI."""
+    return (
+        f"CASE WHEN startswith(({e}), '_:') THEN named_struct("
+        f"'kind', 'bnode', 'value', substring({e}, 3), "
+        f"'dt', CAST(NULL AS STRING), 'lang', CAST(NULL AS STRING)) "
+        f"ELSE named_struct('kind', 'iri', 'value', ({e}), "
+        f"'dt', CAST(NULL AS STRING), 'lang', CAST(NULL AS STRING)) END"
+    )
+
+
+def _js_number(e: str) -> str:
+    """JS Number.toString for a DOUBLE expr (pyflatten._number_str):
+    integral doubles print without the trailing '.0'."""
+    return (
+        f"CASE WHEN ({e}) = floor({e}) AND abs({e}) < 1e21 "
+        f"THEN CAST(CAST({e} AS BIGINT) AS STRING) "
+        f"ELSE CAST({e} AS STRING) END"
+    )
+
+
+def _lit_term(value_e: str, dt: str, lang: Optional[str] = None) -> str:
+    lang_e = s_str(lang) if lang else "CAST(NULL AS STRING)"
+    return (
+        f"named_struct('kind', 'lit', 'value', ({value_e}), "
+        f"'dt', {s_str(dt)}, 'lang', {lang_e})"
+    )
+
+
+def _const_term(t: Term) -> str:
+    dt = s_str(t.dt) if t.dt is not None else "CAST(NULL AS STRING)"
+    lang = s_str(t.lang) if t.lang is not None else "CAST(NULL AS STRING)"
+    return (f"named_struct('kind', {s_str(t.kind)}, 'value', "
+            f"{s_str(t.value)}, 'dt', {dt}, 'lang', {lang})")
+
+
+def _leaf_term(shape, e: str) -> str:
+    """toRdf of a leaf value expr (value-mapping.ts toRdf)."""
+    if isinstance(shape, ResourceShape):
+        return _iri_or_bnode(e)
+    dt = shape.effective_datatype()
+    if dt == XSD_STRING:
+        return _lit_term(e, XSD_STRING)
+    if dt == RDF_LANG_STRING and shape.language:
+        return _lit_term(e, RDF_LANG_STRING, shape.language)
+    if dt == XSD_BOOLEAN:
+        return _lit_term(f"CASE WHEN {e} THEN 'true' ELSE 'false' END", dt)
+    if dt in INTEGER_TYPES:
+        return _lit_term(f"CAST({e} AS STRING)", dt)
+    if dt in FRACTIONAL_TYPES:
+        return _lit_term(_js_number(e), dt)
+    raise UnsupportedShape(f"literal datatype {dt}")
+
+
+def _edge(subj: str, path, obj: str) -> str:
+    """Quad generation for a forward/inverse predicate path
+    (flatten.ts:302-357, restricted fragment)."""
+    if isinstance(path, PredicatePath):
+        return (f"named_struct('s', {subj}, 'p', {s_str(path.predicate)}, "
+                f"'o', {obj})")
+    if isinstance(path, InversePath) and \
+            isinstance(path.inverse, PredicatePath):
+        return (f"named_struct('s', {obj}, "
+                f"'p', {s_str(path.inverse.predicate)}, 'o', {subj})")
+    raise UnsupportedShape(f"path {path!r}")
+
+
+class _Compiler:
+    """Compiles one shape into an array<triple> SQL expr.
+
+    Blank-node counters replicate the interpreter's generation order
+    (pyflatten): within a record, property matches are built in
+    declaration order (children's blank nodes first), then the record's
+    own subject blank node (when no self property names it).  Counter
+    offsets are SQL int exprs threaded through the walk.
+    """
+
+    def __init__(self, catalog: ShapeCatalog, seed: str) -> None:
+        self.catalog = catalog
+        self.seed = seed
+        self._lambda_n = 0
+
+    def _var(self) -> str:
+        self._lambda_n += 1
+        return f"fx{self._lambda_n}"
+
+    def _bnode(self, shape, counter: str) -> str:
+        """{shape.type}_{sha1(seed)[:12]}_{counter} — byte-identical to
+        pyflatten.deterministic_bnode_generator."""
+        ident = (f"concat({s_str(shape.type + '_')}, "
+                 f"substring(sha1({self.seed}), 1, 12), '_', "
+                 f"CAST({counter} AS STRING))")
+        return (f"named_struct('kind', 'bnode', 'value', {ident}, "
+                f"'dt', CAST(NULL AS STRING), 'lang', CAST(NULL AS STRING))")
+
+    # -- blank-node counting -------------------------------------------
+    def _has_self_subject(self, shape: RecordShape) -> bool:
+        for prop in shape.type_properties + shape.properties:
+            if is_self_path(prop.path) and not prop.transient:
+                vshape = self.catalog.get(prop.value_shape)
+                if isinstance(vshape, ResourceShape):
+                    return True
+        return False
+
+    def _static_count(self, shape) -> Optional[int]:
+        """Blank nodes per instance when data-independent, else None."""
+        if isinstance(shape, (ResourceShape, LiteralShape)):
+            return 0
+        if isinstance(shape, OptionalShape):
+            inner = self._static_count(self.catalog.get(shape.item_shape))
+            return 0 if inner == 0 else None
+        if isinstance(shape, SetShape):
+            inner = self._static_count(self.catalog.get(shape.item_shape))
+            return 0 if inner == 0 else None
+        if isinstance(shape, RecordShape):
+            total = 0 if self._has_self_subject(shape) else 1
+            for prop in shape.type_properties + shape.properties:
+                if prop.transient or is_self_path(prop.path):
+                    continue
+                sub = self._static_count(self.catalog.get(prop.value_shape))
+                if sub is None:
+                    return None
+                total += sub
+            return total
+        raise UnsupportedShape(f"{shape.type} shape")
+
+    def _count_expr(self, shape, value: str) -> str:
+        """SQL int expr: blank nodes generated by this value."""
+        static = self._static_count(shape)
+        if static is not None:
+            return str(static)
+        if isinstance(shape, OptionalShape):
+            inner = self._count_expr(self.catalog.get(shape.item_shape), value)
+            return f"(CASE WHEN ({value}) IS NULL THEN 0 ELSE {inner} END)"
+        if isinstance(shape, SetShape):
+            item = self.catalog.get(shape.item_shape)
+            per = self._static_count(item)
+            if per is None:
+                raise UnsupportedShape(
+                    "set items with data-dependent blank-node counts")
+            return f"(coalesce(size({value}), 0) * {per})"
+        if isinstance(shape, RecordShape):
+            parts = ["0" if self._has_self_subject(shape) else "1"]
+            for prop in shape.type_properties + shape.properties:
+                if prop.transient or is_self_path(prop.path):
+                    continue
+                parts.append(self._count_expr(
+                    self.catalog.get(prop.value_shape),
+                    f"({value}).{_q(prop.name)}"))
+            return "(" + " + ".join(parts) + ")"
+        raise UnsupportedShape(f"{shape.type} shape")
+
+    # -- emission -------------------------------------------------------
+    def record_subject(self, shape: RecordShape, value: str,
+                       counter: str) -> str:
+        """Subject resolution (flatten.ts:203-217 + SubjectMemo,
+        common.ts:116-138): a self-path resource property names the
+        subject; otherwise the deterministic blank node ``counter``."""
+        for prop in shape.type_properties + shape.properties:
+            if is_self_path(prop.path) and not prop.transient:
+                vshape = self.catalog.get(prop.value_shape)
+                if isinstance(vshape, ResourceShape):
+                    return _iri_or_bnode(f"({value}).{_q(prop.name)}")
+        return self._bnode(shape, counter)
+
+    def record_triples(self, shape: RecordShape, value: str, subj: str,
+                       offset: str) -> str:
+        """array<triple> expr for one record instance whose children's
+        blank-node counters start after ``offset``."""
+        parts: List[str] = []
+        for prop in shape.type_properties + shape.properties:
+            vshape = self.catalog.get(prop.value_shape)
+            if prop.transient:
+                # transient synthesis (flatten.ts:238-251): constants
+                # emit; optional/set/map synthesize empty → no triples
+                if isinstance(vshape, (ResourceShape, LiteralShape)) and \
+                        vshape.value is not None:
+                    parts.append(
+                        f"array({_edge(subj, prop.path, _const_term(vshape.value))})")
+                elif isinstance(vshape, (OptionalShape, SetShape)):
+                    continue
+                else:
+                    raise UnsupportedShape(
+                        f"transient property {prop.name} synthesis")
+                continue
+            if is_self_path(prop.path):
+                continue  # the subject itself; no edge emitted
+            pv = f"({value}).{_q(prop.name)}"
+            parts.append(self.prop_triples(prop, vshape, pv, subj, offset))
+            offset = f"({offset} + {self._count_expr(vshape, pv)})"
+        if not parts:
+            return EMPTY_TRIPLES
+        return f"concat({', '.join(parts)})"
+
+    def prop_triples(self, prop, vshape, pv: str, subj: str,
+                     offset: str) -> str:
+        optional = False
+        if isinstance(vshape, OptionalShape):
+            optional = True
+            vshape = self.catalog.get(vshape.item_shape)
+        if isinstance(vshape, (ResourceShape, LiteralShape)):
+            if vshape.keep_as_term or (
+                    isinstance(vshape, ResourceShape)
+                    and vshape.vocabulary is not None):
+                raise UnsupportedShape("keepAsTerm/vocabulary leaf")
+            one = f"array({_edge(subj, prop.path, _leaf_term(vshape, pv))})"
+            if optional:
+                return (f"CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
+                        f"ELSE {one} END")
+            return one
+        if isinstance(vshape, SetShape):
+            item = self.catalog.get(vshape.item_shape)
+            if isinstance(item, (ResourceShape, LiteralShape)):
+                if item.keep_as_term or (isinstance(item, ResourceShape)
+                                         and item.vocabulary is not None):
+                    raise UnsupportedShape("keepAsTerm/vocabulary leaf")
+                x = self._var()
+                body = f"array({_edge(subj, prop.path, _leaf_term(item, x))})"
+                arr = f"flatten(transform({pv}, {x} -> {body}))"
+                return f"coalesce({arr}, {EMPTY_TRIPLES})"
+            if isinstance(item, RecordShape):
+                per = self._static_count(item)
+                if per is None:
+                    raise UnsupportedShape(
+                        "set items with data-dependent blank-node counts")
+                x = self._var()
+                # element i's blank nodes occupy
+                # (offset + i*per, offset + (i+1)*per]; the element's own
+                # subject counter comes LAST (children first)
+                elem_off = f"({offset} + {x}_i * {per})"
+                subj_ctr = f"({elem_off} + {per})"
+                child_subj = self.record_subject(item, x, subj_ctr)
+                edge = f"array({_edge(subj, prop.path, child_subj)})"
+                body = self.record_triples(item, x, child_subj, elem_off)
+                arr = (f"flatten(transform({pv}, ({x}, {x}_i) -> "
+                       f"concat({edge}, {body})))")
+                return f"coalesce({arr}, {EMPTY_TRIPLES})"
+            raise UnsupportedShape(f"set item shape {item.type}")
+        if isinstance(vshape, RecordShape):
+            own = self._count_expr(vshape, pv)
+            subj_ctr = f"({offset} + {own})"  # children first, own last
+            child_subj = self.record_subject(vshape, pv, subj_ctr)
+            edge = f"array({_edge(subj, prop.path, child_subj)})"
+            body = self.record_triples(vshape, pv, child_subj, offset)
+            full = f"concat({edge}, {body})"
+            if optional:
+                return (f"CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
+                        f"ELSE {full} END")
+            return full
+        raise UnsupportedShape(f"property value shape {vshape.type}")
+
+
+def _q(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def supports_shape(catalog: ShapeCatalog, root: ShapeID) -> bool:
+    try:
+        compile_flatten_exprs(catalog, root)
+        return True
+    except UnsupportedShape:
+        return False
+
+
+def compile_flatten_exprs(catalog: ShapeCatalog, root: ShapeID):
+    """Returns (spark_schema, triples_array_expr) for ``root``.
+
+    The expr references columns ``v`` (the parsed value struct) and
+    ``seed`` (the per-row blank-node seed string)."""
+    shape = catalog.get(root)
+    if not isinstance(shape, RecordShape):
+        raise UnsupportedShape("root must be a record shape")
+    schema = shape_struct_type(catalog, root)
+    comp = _Compiler(catalog, "seed")
+    # the root's own blank node (when no self subject) is generated
+    # AFTER all children (flatten.ts:203-217)
+    own_ctr = comp._count_expr(shape, "v")
+    subj = comp.record_subject(shape, "v", own_ctr)
+    triples = comp.record_triples(shape, "v", subj, "0")
+    return schema, triples
+
+
+def flatten_relational(df: DataFrame, catalog: ShapeCatalog, root: ShapeID,
+                       value_col: str = "value",
+                       seed_col: Optional[str] = None) -> DataFrame:
+    """Flatten every row's JSON value against ``root`` relationally.
+
+    Output matches :func:`ramp_shapes_spark.flatten.flatten_df`'s
+    success rows — (seed, tid, s, p, o), blank-node ids included — with
+    tid the per-value emission index.  Raises :class:`UnsupportedShape`
+    when ``root`` is outside the fragment; callers fall back to the
+    interpreter path.
+    """
+    schema, triples_e = compile_flatten_exprs(catalog, root)
+    if seed_col is None:
+        df = df.withColumn("__seed", F.sha1(F.col(value_col)))
+        seed_col = "__seed"
+    parsed = df.select(
+        F.col(seed_col).alias("seed"),
+        F.from_json(F.col(value_col), schema).alias("v"),
+    )
+    out = parsed.select(
+        "seed", F.posexplode(F.expr(triples_e)).alias("tid", "t"))
+    return out.selectExpr("seed", "CAST(tid AS BIGINT) AS tid",
+                          "t.s AS s", "t.p AS p", "t.o AS o")

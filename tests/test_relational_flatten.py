@@ -1,0 +1,131 @@
+"""Relational flatten emitter vs the reference-semantics interpreter.
+
+The emitter (ramp_shapes_spark/relational_flatten.py) must produce the
+same triple set as pyflatten (blank-node isomorphism) for every shape
+inside its fragment, per framed value.  Reference semantics:
+flatten.ts:200-248 (records), 386-443 (set/optional), 302-357 (paths).
+"""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ramp_shapes_spark.compare import triple_sets_isomorphic
+from ramp_shapes_spark.pyflatten import flatten_py
+from ramp_shapes_spark.relational_flatten import (
+    UnsupportedShape, flatten_relational, supports_shape,
+)
+from ramp_shapes_spark.shapes import (
+    InversePath, PredicatePath, SELF_PATH, ShapeBuilder, prop,
+)
+from ramp_shapes_spark.terms import (
+    RDF_TYPE, XSD_DOUBLE, XSD_INTEGER, XSD_STRING, from_row, iri,
+)
+
+EX = "http://example.com/t#"
+
+
+def _kg_like_catalog():
+    b = ShapeBuilder()
+    mention = b.record(
+        EX + "Mention",
+        type_properties=[prop("type", RDF_TYPE,
+                              b.constant(iri(EX + "Mention")),
+                              transient=True)],
+        properties=[
+            prop("entity", EX + "entity", b.resource(only_named=True)),
+            prop("surface", EX + "surface", b.literal(datatype=XSD_STRING)),
+            prop("score", EX + "score", b.literal(datatype=XSD_DOUBLE)),
+        ],
+    )
+    turn = b.record(
+        EX + "Turn",
+        type_properties=[prop("type", RDF_TYPE,
+                              b.constant(iri(EX + "Turn")), transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("idx", EX + "idx", b.literal(datatype=XSD_INTEGER)),
+            prop("tool", EX + "tool",
+                 b.optional(b.literal(datatype=XSD_STRING))),
+            prop("by", InversePath(PredicatePath(EX + "authored")),
+                 b.resource(only_named=True)),
+            prop("mentions", EX + "mentions", b.set_of(mention)),
+        ],
+    )
+    return b.catalog, turn
+
+
+VALUES = [
+    {"id": "turn:a:1", "idx": 3, "tool": "bash", "by": "user:alice",
+     "mentions": [
+         {"entity": "entity:e1", "surface": "acme-00001", "score": 0.93},
+         {"entity": "entity:e2", "surface": "the acme", "score": 1.0},
+     ]},
+    {"id": "turn:a:2", "idx": 0, "by": "user:bob", "mentions": []},
+]
+
+
+def _spark_triples(spark, catalog, root, values):
+    df = spark.createDataFrame(
+        [(str(i), json.dumps(v)) for i, v in enumerate(values)],
+        "seed string, value string",
+    )
+    out = flatten_relational(df, catalog, root, seed_col="seed")
+    rows = out.orderBy("seed", "tid").collect()
+    by_seed = {}
+    for r in rows:
+        by_seed.setdefault(r["seed"], []).append(
+            (from_row(r["s"]), r["p"], from_row(r["o"])))
+    return by_seed
+
+
+def test_relational_matches_interpreter(spark):
+    catalog, turn = _kg_like_catalog()
+    assert supports_shape(catalog, turn)
+    got = _spark_triples(spark, catalog, turn, VALUES)
+    for i, v in enumerate(VALUES):
+        want = flatten_py(catalog, turn, v)
+        assert triple_sets_isomorphic(got.get(str(i), []), want), (
+            f"value {i}: got {got.get(str(i))} want {want}")
+
+
+def test_relational_bnode_ids_byte_identical(spark):
+    """Either execution path must emit the SAME graph (ids included) so
+    materialized fingerprints don't depend on which path ran."""
+    from ramp_shapes_spark.pyflatten import deterministic_bnode_generator
+    catalog, turn = _kg_like_catalog()
+    got = _spark_triples(spark, catalog, turn, VALUES)
+    for i, v in enumerate(VALUES):
+        want = flatten_py(catalog, turn, v,
+                          deterministic_bnode_generator(str(i)))
+        gset = {(s.key(), p, o.key()) for s, p, o in got.get(str(i), [])}
+        wset = {(s.key(), p, o.key()) for s, p, o in want}
+        assert gset == wset, f"value {i}: {gset ^ wset}"
+
+
+def test_distinct_bnodes_across_rows_and_elements(spark):
+    catalog, turn = _kg_like_catalog()
+    got = _spark_triples(spark, catalog, turn, VALUES)
+    bnodes = set()
+    for triples in got.values():
+        for s, p, o in triples:
+            for t in (s, o):
+                if t.kind == "bnode":
+                    bnodes.add(t.value)
+    # 2 mentions in row 0, 0 in row 1 → exactly 2 distinct blank nodes
+    assert len(bnodes) == 2
+
+
+def test_unsupported_falls_back():
+    b = ShapeBuilder()
+    rec = b.record(
+        EX + "R",
+        properties=[prop("xs", EX + "xs",
+                         b.list_of(b.literal(datatype=XSD_STRING)))],
+    )
+    with pytest.raises(UnsupportedShape):
+        from ramp_shapes_spark.relational_flatten import compile_flatten_exprs
+        compile_flatten_exprs(b.catalog, rec)
+    assert not supports_shape(b.catalog, rec)
