@@ -19,5 +19,6 @@ from .shapes import (  # noqa: F401
 )
 from .ttl import parse_turtle, parse_turtle_file  # noqa: F401
 from .shape_ttl import load_shapes_from_file, load_shapes_from_graph  # noqa: F401
+from .generate_query import generate_query, ConstructQuery  # noqa: F401
 
 __version__ = "0.1.0"
