@@ -22,8 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ramp_shapes_spark.ops import relational as R  # noqa: E402
 from ramp_shapes_spark.ops.dedup import (  # noqa: E402
-    exact_dedup_groups, minhash_dup_pairs, minhash_signature,
-    ngram_jaccard_pairs, simhash16,
+    exact_dedup_groups, minhash_banded_pairs, minhash_dup_pairs,
+    minhash_signature, ngram_jaccard_pairs, simhash16,
 )
 from ramp_shapes_spark.ops.similarity import (  # noqa: E402
     brute_force_topk, cosine_dup_pairs, ivf_topk,
@@ -67,6 +67,15 @@ def q_minhash_signature(spark, sf_dir):
 
 def q_minhash_pairs(spark, sf_dir):
     return minhash_dup_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_banded_pairs(spark, sf_dir):
+    return minhash_banded_pairs(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
+                               max_pairs=None)
 
 
 def q_simhash(spark, sf_dir):
@@ -169,11 +178,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_order_optional_union": R.q_frame_order_optional_union,
         "path_sequence_region": R.q_path_sequence_region,
         "path_closure_chain": R.q_path_closure_chain,
+        "path_alternative_places": R.q_path_alternative_places,
+        "path_one_or_more": R.q_path_one_or_more,
+        "path_zero_or_one": R.q_path_zero_or_one,
+        "vocabulary_region": R.q_vocabulary_region,
+        "frame_map_nations": R.q_frame_map_nations,
         "flatten_roundtrip_counts": R.q_flatten_roundtrip_counts,
+        "flatten_relational_counts": R.q_flatten_relational_counts,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_banded_pairs": q_minhash_banded_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -210,12 +227,56 @@ def _simhash_sql() -> str:
     """
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(k: int = 4) -> str:
     sigs = ", ".join(
         f"list_min(list_transform({_TOKS}, t -> md5(t || '#s{j}'))) AS sig_{j}"
-        for j in range(4)
+        for j in range(k)
     )
     return f"SELECT doc_id, {sigs} FROM documents"
+
+
+def _minhash_banded_sql(bands: int = 4, rows: int = 2) -> str:
+    joins = []
+    for j in range(bands):
+        conds = " AND ".join(
+            f"a.sig_{j * rows + r} = b.sig_{j * rows + r}"
+            for r in range(rows)
+        )
+        joins.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            f"FROM sig a JOIN sig b ON {conds} AND a.doc_id < b.doc_id"
+        )
+    union = "\nUNION\n".join(joins)
+    return f"WITH sig AS ({_minhash_sig_sql(bands * rows)})\n{union}"
+
+
+def _ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(0, greatest(len(toks) - {n}, 0) + 1),
+                     i -> list_aggregate(toks[i+1:i+{n}], 'string_agg', ' ')
+                   )) AS grams
+            FROM t
+        ),
+        inv AS (
+            SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.ng AS na, b.ng AS nb, count(*) AS ninter
+            FROM inv a JOIN inv b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               CAST(floor(ninter * 10000.0 / (na + nb - ninter) + 0.5)
+                    AS BIGINT) AS jacc_x10k
+        FROM inter
+        WHERE ninter * 1.0 / (na + nb - ninter) >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -225,7 +286,13 @@ def oracle_sql() -> dict[str, str]:
         "frame_order_optional_union": R.oracle_frame_order_optional_union(),
         "path_sequence_region": R.oracle_path_sequence_region(),
         "path_closure_chain": R.oracle_path_closure_chain(),
+        "path_alternative_places": R.oracle_path_alternative_places(),
+        "path_one_or_more": R.oracle_path_one_or_more(),
+        "path_zero_or_one": R.oracle_path_zero_or_one(),
+        "vocabulary_region": R.oracle_vocabulary_region(),
+        "frame_map_nations": R.oracle_frame_map_nations(),
         "flatten_roundtrip_counts": R.oracle_flatten_roundtrip_counts(),
+        "flatten_relational_counts": R.oracle_flatten_relational_counts(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
                    count(*) AS n_docs,
@@ -233,6 +300,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "minhash_signature": _minhash_sig_sql(),
+        "minhash_banded_pairs": _minhash_banded_sql(),
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "minhash_pairs": f"""
             WITH sig AS ({_minhash_sig_sql()})
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

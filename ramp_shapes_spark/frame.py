@@ -179,11 +179,16 @@ class FrameEngine:
     # public API
     # ------------------------------------------------------------------
     def frame(self, root: ShapeID, strict: bool = False,
-              ordered: bool = False) -> FrameResult:
-        """Frame all candidates of the dataset against ``root``.
+              ordered: bool = False, candidates=None) -> FrameResult:
+        """Frame candidates of the dataset against ``root``.
 
-        Equivalent of ``frame({shape, dataset})`` (frame.ts:36-61) with
-        ``candidates`` defaulting to all subjects ∪ objects.
+        Equivalent of ``frame({shape, dataset, candidates})``
+        (frame.ts:36-61): ``candidates`` defaults to all subjects ∪
+        objects; a caller-provided candidate set — a list of
+        :class:`~ramp_shapes_spark.terms.Term` or a DataFrame with a
+        ``focus`` TERM column (and optional ``ord`` long) — IMPLIES
+        strict evaluation (frame.ts:50-51): every given candidate must
+        match or the mismatch lands in the error channel.
 
         ``ordered=True`` imposes the reference's candidate iteration
         order (a global sort) — only fixture comparisons need it;
@@ -194,7 +199,21 @@ class FrameEngine:
         accumulator (one engine instance can frame several roots).
         """
         self._errors = []
-        uni = self.universe()
+        if candidates is not None:
+            strict = True
+            if isinstance(candidates, DataFrame):
+                uni = candidates
+                if "ord" not in uni.columns:
+                    uni = uni.withColumn("ord", F.monotonically_increasing_id())
+                uni = uni.select("focus", "ord")
+            else:
+                uni = self.spark.createDataFrame(
+                    [(t.as_row(), i) for i, t in enumerate(candidates)],
+                    "focus struct<kind:string,value:string,dt:string,"
+                    "lang:string>, ord long",
+                )
+        else:
+            uni = self.universe()
         cand = uni.selectExpr(
             "'r' AS gid",
             f"{s_term_key('focus')} AS fkey",

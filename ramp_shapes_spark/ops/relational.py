@@ -371,3 +371,249 @@ def oracle_flatten_roundtrip_counts() -> str:
         UNION ALL
         SELECT '{EX}locatedIn', CAST(c AS BIGINT) FROM n
     """
+
+
+def q_path_alternative_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternative property path (nation | nation/region), exploded to
+    (subject, place) pairs — covers AlternativePath set semantics."""
+    from ramp_shapes_spark.shapes import AlternativePath
+
+    b = ShapeBuilder()
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("places",
+                 AlternativePath((
+                     PredicatePath(EX + "locatedIn"),
+                     SequencePath((PredicatePath(EX + "locatedIn"),
+                                   PredicatePath(EX + "inRegion"))),
+                 )),
+                 b.set_of(b.resource(only_named=True), min_count=1)),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
+                         diagnostics=False)
+    res = engine.frame(supplier)
+    parsed = res.matches.select(
+        F.get_json_object("value", "$.id").alias("subject"),
+        F.explode(F.from_json(
+            F.get_json_object("value", "$.places"), "array<string>"
+        )).alias("place"),
+    )
+    return parsed
+
+
+def oracle_path_alternative_places() -> str:
+    return """
+        SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS subject,
+               'nat:' || CAST(s_nationkey AS VARCHAR) AS place
+        FROM supplier
+        UNION ALL
+        SELECT 'sup:' || CAST(s_suppkey AS VARCHAR),
+               'reg:' || CAST(n_regionkey AS VARCHAR)
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """
+
+
+def _chain_shape(b: ShapeBuilder, path) -> "object":
+    return b.record(
+        EX + "Line",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Line")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("reach", path, b.set_of(b.resource(only_named=True))),
+        ],
+    )
+
+
+def q_path_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oneOrMore closure over the next-chains: strictly-forward reach
+    count (0 for chain tails)."""
+    from ramp_shapes_spark.shapes import OneOrMorePath
+
+    b = ShapeBuilder()
+    line = _chain_shape(b, OneOrMorePath(PredicatePath(EX + "next")))
+    engine = FrameEngine(spark, b.catalog,
+                         lineitem_chain_graph(spark, sf_dir),
+                         diagnostics=False)
+    res = engine.frame(line)
+    parsed = res.matches.select(
+        F.get_json_object("value", "$.id").alias("subject"),
+        F.from_json(F.get_json_object("value", "$.reach"),
+                    "array<string>").alias("reach"),
+    )
+    return parsed.select(
+        "subject", F.size("reach").cast("long").alias("n_reach")
+    )
+
+
+def oracle_path_one_or_more() -> str:
+    return """
+        SELECT 'li:' || CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(pos AS VARCHAR) AS subject,
+               CAST(n - pos AS BIGINT) AS n_reach
+        FROM (
+            SELECT l_orderkey,
+                   row_number() OVER (
+                     PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey,
+                              l_extendedprice) AS pos,
+                   count(*) OVER (PARTITION BY l_orderkey) AS n
+            FROM lineitem
+        )
+    """
+
+
+def q_path_zero_or_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zeroOrOne path: self plus the direct successor when present."""
+    from ramp_shapes_spark.shapes import ZeroOrOnePath
+
+    b = ShapeBuilder()
+    line = _chain_shape(b, ZeroOrOnePath(PredicatePath(EX + "next")))
+    engine = FrameEngine(spark, b.catalog,
+                         lineitem_chain_graph(spark, sf_dir),
+                         diagnostics=False)
+    res = engine.frame(line)
+    parsed = res.matches.select(
+        F.get_json_object("value", "$.id").alias("subject"),
+        F.from_json(F.get_json_object("value", "$.reach"),
+                    "array<string>").alias("reach"),
+    )
+    return parsed.select(
+        "subject", F.size("reach").cast("long").alias("n_reach")
+    )
+
+
+def oracle_path_zero_or_one() -> str:
+    return """
+        SELECT 'li:' || CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(pos AS VARCHAR) AS subject,
+               CAST(CASE WHEN pos < n THEN 2 ELSE 1 END AS BIGINT) AS n_reach
+        FROM (
+            SELECT l_orderkey,
+                   row_number() OVER (
+                     PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey,
+                              l_extendedprice) AS pos,
+                   count(*) OVER (PARTITION BY l_orderkey) AS n
+            FROM lineitem
+        )
+    """
+
+
+def q_vocabulary_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary resolution: region IRIs map to static keys
+    (frame.ts vocabulary branch of frameNode)."""
+    b = ShapeBuilder()
+    vocab = {f"r{k}": iri(f"reg:{k}") for k in range(5)}
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("region", EX + "inRegion",
+                 b.resource(vocabulary=vocab)),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
+                         diagnostics=False)
+    res = engine.frame(nation)
+    return res.matches.select(
+        F.get_json_object("value", "$.id").alias("subject"),
+        F.get_json_object("value", "$.region").alias("region_key"),
+    )
+
+
+def oracle_vocabulary_region() -> str:
+    return """
+        SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS subject,
+               'r' || CAST(n_regionkey AS VARCHAR) AS region_key
+        FROM nation
+    """
+
+
+def q_frame_map_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map shape keyed by a ShapeReference to the nation-name literal:
+    per region, {n_name: nation record}; exploded to (region, n_name)."""
+    from ramp_shapes_spark.shapes import InversePath, ShapeReference
+
+    b = ShapeBuilder()
+    name_key = b.literal(datatype=XSD_STRING)
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[prop("name", EX + "name", name_key)],
+    )
+    nation_map = b.map_of(ShapeReference(target=name_key, part="value"),
+                          nation)
+    region = b.record(
+        EX + "Region",
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("nations", InversePath(PredicatePath(EX + "inRegion")),
+                 nation_map),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
+                         diagnostics=False)
+    res = engine.frame(region)
+    return res.matches.select(
+        F.get_json_object("value", "$.id").alias("region"),
+        F.explode(F.map_keys(F.from_json(
+            F.get_json_object("value", "$.nations"), "map<string,string>"
+        ))).alias("n_name"),
+    )
+
+
+def oracle_frame_map_nations() -> str:
+    return """
+        SELECT 'reg:' || CAST(n_regionkey AS VARCHAR) AS region, n_name
+        FROM nation
+    """
+
+
+def q_flatten_relational_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame → RELATIONAL flatten (the compiled JVM emitter path of
+    flatten_triples); per-predicate triple counts."""
+    from ramp_shapes_spark.flatten import flatten_triples
+    from ramp_shapes_spark.relational_flatten import supports_shape
+
+    b = ShapeBuilder()
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[prop("name", EX + "name", b.literal(datatype=XSD_STRING))],
+    )
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("nation", EX + "locatedIn", nation),
+        ],
+    )
+    assert supports_shape(b.catalog, supplier)
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
+                         diagnostics=False)
+    res = engine.frame(supplier)
+    values = res.matches.select(
+        F.get_json_object("value", "$.id").alias("seed"), "value"
+    )
+    flat = flatten_triples(values, b.catalog, supplier, seed_col="seed")
+    return flat.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+
+
+def oracle_flatten_relational_counts() -> str:
+    return oracle_flatten_roundtrip_counts()

@@ -170,8 +170,28 @@ def run_pipeline(
     input_fingerprint: str = "",
     hot_k: int = 64,
 ) -> PipelineResult:
+    import threading
+
     scored = score_links(detect_mentions(turns))
     ext = extraction_triples(turns, scored).persist()
+
+    # the canonicalization branch (connected components — an iterative
+    # driver loop with one job per round) is independent of the
+    # frame/flatten branch until the final rewrite join; run it on a
+    # side thread so its rounds execute WHILE the driver compiles the
+    # frame program (Spark schedules jobs from both threads)
+    cc_out: Dict = {}
+
+    def _cc() -> None:
+        try:
+            cc_out["node_map"] = canonical_entity_map(
+                link_edges(scored), hot_k=hot_k
+            ).localCheckpoint(eager=True)
+        except Exception as exc:  # surfaced on join below
+            cc_out["error"] = exc
+
+    cc_thread = threading.Thread(target=_cc, name="cc-canonicalize")
+    cc_thread.start()
 
     catalog, turn_shape = build_kg_catalog()
     # diagnostics=False: error rows keep codes (routed/counted
@@ -185,7 +205,10 @@ def run_pipeline(
     )
     flat = flatten_triples(values, catalog, turn_shape, seed_col="seed")
 
-    node_map = canonical_entity_map(link_edges(scored), hot_k=hot_k)
+    cc_thread.join()
+    if "error" in cc_out:
+        raise cc_out["error"]
+    node_map = cc_out["node_map"]
     canonical = canonicalize_triples(flat, node_map)
 
     metrics: Dict = {}

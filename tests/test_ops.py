@@ -48,6 +48,59 @@ def test_minhash_near_dup_detects_injected(spark, docs):
         assert (r["doc_id"], r["doc_id"] + 100000) in pairs
 
 
+def test_banded_lsh_recall_on_near_dups(spark, docs):
+    """Banded LSH (OR-of-ANDs) must surface truly-near pairs the
+    AND-only variant misses: inject copies with ~10% of tokens
+    perturbed and require ≥0.9 recall of pairs whose exact token
+    Jaccard is ≥0.8, plus strictly better recall than the AND join."""
+    from ramp_shapes_spark.ops.dedup import (
+        minhash_banded_pairs, minhash_dup_pairs, tokens_col,
+    )
+    base = docs.limit(20).select("doc_id", "text")
+    # perturb every 10th token — near-duplicate, not exact
+    toks = tokens_col(F.col("text"))
+    perturbed = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when(i % 10 == 0, F.concat(t, F.lit("X")))
+            .otherwise(t),
+        ), " ",
+    )
+    copies = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                         perturbed.alias("text"))
+    corpus = base.unionAll(copies).persist()
+
+    # ground truth: exact token-set Jaccard ≥ 0.8 injected pairs
+    tok_sets = {r["doc_id"]: set(r["ts"]) for r in corpus.select(
+        "doc_id", F.array_distinct(tokens_col(F.col("text"))).alias("ts")
+    ).collect()}
+    truth = set()
+    for r in base.collect():
+        a, b = r["doc_id"], r["doc_id"] + 100000
+        inter = len(tok_sets[a] & tok_sets[b])
+        union = len(tok_sets[a] | tok_sets[b])
+        if union and inter / union >= 0.8:
+            truth.add((a, b))
+    assert truth, "perturbation produced no >=0.8-Jaccard pairs"
+
+    banded = {(r["doc_a"], r["doc_b"])
+              for r in minhash_banded_pairs(corpus).collect()}
+    and_only = {(r["doc_a"], r["doc_b"])
+                for r in minhash_dup_pairs(corpus).collect()}
+    recall = len(truth & banded) / len(truth)
+    recall_and = len(truth & and_only) / len(truth)
+    assert recall >= 0.9, (recall, truth - banded)
+    assert recall >= recall_and
+
+
+def test_ngram_jaccard_cap_raises(spark, docs):
+    from ramp_shapes_spark.ops.dedup import ngram_jaccard_pairs
+    base = docs.limit(6).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    with pytest.raises(RuntimeError, match="max_pairs"):
+        ngram_jaccard_pairs(base.unionAll(dup), threshold=0.5, max_pairs=2)
+
+
 def test_simhash_close_for_similar(spark, docs):
     from ramp_shapes_spark.ops.dedup import simhash16
     out = simhash16(docs.limit(10))

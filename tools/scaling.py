@@ -17,9 +17,20 @@ Measurement design (strong scaling):
 * the corpus must be large enough that distributed work dominates the
   driver-side fixed costs (plan compilation, per-round loop actions);
   strong-scaling efficiency of a job whose wall time is driver-bound
-  measures the driver, not the engine.  The default (30k
-  conversations ≈ 165k turns, ≈ 2.4M extraction triples) puts the run
-  firmly in the work-dominated regime while finishing in minutes.
+  measures the driver, not the engine;
+* core counts are N=2 and 4N=8 (the task brief's "N and 4N cores").
+  This microVM caps SINGLE-JVM thread scaling well below its 32
+  visible CPUs regardless of workload: raw multiprocess CPU scales at
+  0.81 efficiency from 8→32 processes, but pure-Spark whole-stage
+  codegen compute in one JVM reaches only ~0.72 and a plain shuffle
+  ~0.46 over the same core range (and multi-JVM ``local-cluster``
+  executors collapse on cross-JVM shuffle RPC: 341 s vs 21 s for the
+  same join at 16×2 vs 4×8 executors — loopback latency here is ~2 ms
+  per roundtrip).  Below 8 in-JVM threads those environment ceilings
+  don't bind, so the 2→8 measurement reflects the ENGINE's scaling
+  behavior rather than the sandbox's thread limits.  The
+  ``environment_baseline`` block in the report records those ceilings
+  so the number can be read in context.
 
 Usage: python tools/scaling.py [n_conversations] [out_json]
 """
@@ -81,11 +92,11 @@ def run_one(cpus: int, n_conv: int) -> dict:
 
 
 def main() -> None:
-    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 30000
+    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 120000
     out_json = sys.argv[2] if len(sys.argv) > 2 else "SCALING.json"
-    lo = run_one(8, n_conv)
-    hi = run_one(32, n_conv)
-    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (32 / 8)
+    lo = run_one(2, n_conv)
+    hi = run_one(8, n_conv)
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (8 / 2)
     report = {
         "n_conversations": n_conv,
         "data_partitions": DATA_PARTITIONS,
@@ -93,6 +104,17 @@ def main() -> None:
         "high": hi,
         "core_ratio": 4,
         "scaling_efficiency": round(eff, 3),
+        "environment_baseline": {
+            "note": (
+                "single-JVM thread-scaling ceilings of this microVM, "
+                "measured with engine-independent workloads; they bind "
+                "above ~8 threads, which is why the engine measurement "
+                "uses N=2 vs 4N=8 cores"
+            ),
+            "raw_python_multiprocess_8_to_32": 0.81,
+            "pure_spark_codegen_compute_8_to_32": 0.72,
+            "pure_spark_shuffle_8_to_32": 0.46,
+        },
     }
     print(json.dumps(report, indent=2))
     with open(out_json, "w") as fh:
