@@ -1394,19 +1394,27 @@ class FrameEngine:
         )
         key_target = shape.key.target.key()
         self._collectors.setdefault(key_target, [])
+        val_ref = shape.value
+        if val_ref is not None:
+            self._collectors.setdefault(val_ref.target.key(), [])
         ires = self.compile(shape.item_shape, cand2, groups2, required)
-        captured = self._collectors.pop(key_target, [])
-        if not captured:
-            keys = self._empty(
-                "refk string, kfocus struct<kind:string,value:string,dt:string,lang:string>, kord long")
-        else:
-            keys = captured[0]
-            for cdf in captured[1:]:
-                keys = keys.unionAll(cdf)
+
+        def _ref_relation(target_key: str, alias: str) -> DataFrame:
+            captured = self._collectors.pop(target_key, [])
+            if not captured:
+                rel = self._empty(
+                    "refk string, kfocus struct<kind:string,value:string,"
+                    "dt:string,lang:string>, kord long")
+            else:
+                rel = captured[0]
+                for cdf in captured[1:]:
+                    rel = rel.unionAll(cdf)
+            return rel.groupBy("refk").agg(
+                F.expr("max(struct(kord, kfocus))").alias("kk")
+            ).selectExpr("refk", f"kk.kfocus AS {alias}")
+
         part = shape.key.part
-        keys = keys.groupBy("refk").agg(
-            F.expr("max(struct(kord, kfocus))").alias("kk")
-        ).selectExpr("refk", "kk.kfocus AS kfocus")
+        keys = _ref_relation(key_target, "kfocus")
 
         im = ires.matches.join(
             cand2.selectExpr("gid AS g2", "fkey AS f2", "refk"),
@@ -1416,10 +1424,42 @@ class FrameEngine:
             "(kfocus).value" if part in (None, "value") else
             "(kfocus).dt" if part == "datatype" else "(kfocus).lang"
         )
+
+        # map VALUE reference (shapes.ts:136-142; compactByReference,
+        # synthesize.ts:11-36): the entry value is the referenced part
+        # of the captured target term instead of the full item value
+        ref_fail_parts: List[DataFrame] = []
+        if val_ref is not None:
+            vals = _ref_relation(val_ref.target.key(), "vfocus") \
+                .withColumnRenamed("refk", "__vrk")
+            im = im.join(vals, F.col("refk") == F.col("__vrk"), "left")
+            vtarget = self.catalog.get(val_ref.target)
+            if val_ref.part == "value":
+                val_col = s_json_quote("(vfocus).value")
+            elif val_ref.part == "datatype":
+                val_col = s_json_quote("(vfocus).dt")
+            elif val_ref.part == "language":
+                val_col = s_json_quote("(vfocus).lang")
+            else:
+                # whole framed value of the target node shape
+                val_col = self._s_node_value(vtarget, "vfocus")
+            # NoMapValueMatches (errors.ts: 218) when the item matched
+            # but no value reference was captured
+            ref_fail_parts.append(im.where("vfocus IS NULL").selectExpr(
+                "gid", "ord", "218 AS code"))
+            im = im.where("vfocus IS NOT NULL")
+        else:
+            val_col = "coalesce(value, 'null')"
+
+        # NoMapKeyMatches (errors.ts: 217)
+        ref_fail_parts.append(im.where("kfocus IS NULL").selectExpr(
+            "gid", "ord", "217 AS code"))
+        im = im.where("kfocus IS NOT NULL")
+
         entries = im.selectExpr(
             "gid",
             f"concat({s_json_quote(key_col)}, ':', "
-            f"coalesce(value, 'null')) AS entry",
+            f"coalesce({val_col}, 'null')) AS entry",
             "ord",
         )
         eagg = entries.groupBy("gid").agg(
@@ -1436,7 +1476,12 @@ class FrameEngine:
             "'' AS vkey", "gord AS ord",
             "concat('{', coalesce(body, ''), '}') AS value",
         )
-        mmagg = ires.mismatches.groupBy("gid").agg(
+        fail_src = ires.mismatches.selectExpr("gid", "ord", "code", "stack")
+        for rf in ref_fail_parts:
+            fail_src = fail_src.unionAll(
+                rf.selectExpr("gid", "ord", "code",
+                              "CAST(NULL AS STRING) AS stack"))
+        mmagg = fail_src.groupBy("gid").agg(
             F.expr("min(struct(ord, code, stack))").alias("fm"))
         mism = base.join(mmagg, "gid").selectExpr(
             "gid", "CAST(NULL AS STRING) AS fkey",
@@ -1487,39 +1532,88 @@ class FrameEngine:
     def _computed_fragments(
         self, shape: RecordShape, acc: DataFrame
     ) -> Tuple[DataFrame, List[str]]:
+        """Computed-property value synthesis (synthesizeShape,
+        synthesize.ts:55-223): constants, captured node references
+        (part-less → the framed value of the target), and the composite
+        surface — record objects over synthesized properties, sets
+        repeated min(minCount, maxCount) times, optional/list/map
+        empties."""
         frags: List[str] = []
-        for j, cp in enumerate(shape.computed_properties):
-            vshape = self.catalog.get(cp.value_shape)
-            if isinstance(vshape, (ResourceShape, LiteralShape)) and \
-                    vshape.value is not None:
-                const = self._constant_value_json(vshape)
-                frags.append(s_str(jstr(cp.name) + ":" + const))
-                continue
-            targets = self._open_ref_targets(cp.value_shape)
-            if not targets:
-                raise NotImplementedError(
-                    f"computed property {cp.name}: unsupported synth shape")
-            target = targets[0]
+        state = {"acc": acc, "n": 0}
+
+        def ref_expr(vshape) -> Optional[str]:
+            """Join the captured-reference relation for a node target;
+            returns the captured TERM column name (nullable)."""
+            target = vshape.id.key()
             captured = self._collectors.pop(target, [])
             if not captured:
-                continue
+                return None
             cdf = captured[0]
             for extra in captured[1:]:
                 cdf = cdf.unionAll(extra)
+            j = state["n"]
+            state["n"] += 1
             # last write wins (frame.ts:186-190 ref assignment ordering)
             picked = cdf.groupBy("refk").agg(
                 F.expr("max(struct(kord, kfocus))").alias("kk")
-            ).selectExpr(
-                f"refk AS __rk{j}",
-                f"kk.kfocus AS __kf{j}",
-            )
-            acc = acc.join(picked, acc["ckey"] == picked[f"__rk{j}"], "left")
-            valcol = self._s_synthesized_value(vshape, f"__kf{j}")
+            ).selectExpr(f"refk AS __rk{j}", f"kk.kfocus AS __kf{j}")
+            state["acc"] = state["acc"].join(
+                picked, state["acc"]["ckey"] == picked[f"__rk{j}"], "left")
+            return f"__kf{j}"
+
+        def synth(sid: ShapeID) -> Optional[str]:
+            """JSON-fragment expr for a synthesized shape; None encodes
+            an omitted value (JS undefined)."""
+            vshape = self.catalog.get(sid)
+            if isinstance(vshape, (ResourceShape, LiteralShape)):
+                if vshape.value is not None:
+                    return s_str(self._constant_value_json(vshape))
+                kf = ref_expr(vshape)
+                if kf is None:
+                    return None
+                return (f"CASE WHEN {kf} IS NOT NULL THEN "
+                        f"{self._s_synthesized_value(vshape, kf)} END")
+            if isinstance(vshape, RecordShape):
+                parts: List[str] = []
+                for p in (vshape.type_properties + vshape.properties
+                          + tuple(vshape.computed_properties)):
+                    name = p.name
+                    e = synth(p.value_shape)
+                    if e is not None:
+                        parts.append(
+                            f"CASE WHEN ({e}) IS NOT NULL THEN "
+                            f"concat({s_str(jstr(name) + ':')}, {e}) END")
+                body = f"concat_ws(',', {', '.join(parts)})" if parts else "''"
+                return f"concat('{{', {body}, '}}')"
+            if isinstance(vshape, SetShape):
+                count = min(vshape.min_count or 0,
+                            vshape.max_count if vshape.max_count is not None
+                            else float("inf"))
+                count = int(count) if count != float("inf") else 0
+                if count == 0:
+                    return "'[]'"
+                item = synth(vshape.item_shape)
+                if item is None:
+                    return None
+                items = ", ".join([f"coalesce({item}, 'null')"] * count)
+                return f"concat('[', concat_ws(',', {items}), ']')"
+            if isinstance(vshape, OptionalShape):
+                return "'null'" if vshape.empty_is_null else None
+            if isinstance(vshape, ListShape):
+                return "'[]'"
+            if isinstance(vshape, MapShape):
+                return "'{}'"
+            raise NotImplementedError(
+                f"cannot synthesize value for shape {vshape.type}")
+
+        for cp in shape.computed_properties:
+            e = synth(cp.value_shape)
+            if e is None:
+                continue
             frags.append(
-                f"CASE WHEN __kf{j} IS NOT NULL THEN "
-                f"concat({s_str(jstr(cp.name) + ':')}, {valcol}) END"
-            )
-        return acc, frags
+                f"CASE WHEN ({e}) IS NOT NULL THEN "
+                f"concat({s_str(jstr(cp.name) + ':')}, {e}) END")
+        return state["acc"], frags
 
     def _s_synthesized_value(self, vshape, kfocus: str) -> str:
         """synthesizeLiteral/Resource from a captured raw term
