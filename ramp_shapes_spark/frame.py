@@ -152,7 +152,8 @@ class FrameEngine:
     def __init__(self, spark: SparkSession, catalog: ShapeCatalog,
                  triples: DataFrame, max_fixpoint_iterations: int = 64,
                  max_list_length: int = 10_000,
-                 diagnostics: bool = True) -> None:
+                 diagnostics: bool = True,
+                 max_gather_degree: int = 1024) -> None:
         """``diagnostics=False`` keeps the error channel's structure and
         codes but replaces the shape-STACK string expressions (the bulk
         of every compiled plan's expression text) with NULL — pipelines
@@ -165,6 +166,7 @@ class FrameEngine:
         self.recursive_ids = catalog.recursive_shape_ids()
         self.max_fixpoint_iterations = max_fixpoint_iterations
         self.max_list_length = max_list_length
+        self.max_gather_degree = max_gather_degree
         self._site = 0
         self._errors: List[DataFrame] = []
         self._suppress_errors = False
@@ -233,11 +235,12 @@ class FrameEngine:
 
     def universe(self) -> DataFrame:
         if self._universe is None:
-            # lazy checkpoint: truncates the logical plan to a LogicalRDD
-            # so every downstream op analyzes a tiny tree (classic-mode
-            # analysis runs per DataFrame call and is O(plan size))
-            self._universe = all_candidate_terms(self.triples) \
-                .localCheckpoint(eager=False)
+            # persist, NOT localCheckpoint: under AQE a checkpoint —
+            # even a "lazy" one — materializes every upstream query
+            # stage at plan time (AdaptiveSparkPlan.doExecute), turning
+            # plan construction into serial execution; persist() is the
+            # only truly lazy reuse marker
+            self._universe = all_candidate_terms(self.triples).persist()
         return self._universe
 
     def _collect_errors(self, errs: List[DataFrame]) -> DataFrame:
@@ -455,19 +458,43 @@ class FrameEngine:
     # ------------------------------------------------------------------
     def subject_props(self) -> DataFrame:
         """Per-subject gathered property map: skey → map<pred,
-        array<struct<tid,o>>> — the relational analog of the
-        reference's SP hash index (rdf-dataset.ts:44-50), computed with
-        ONE two-level aggregation for the whole engine.  Leaf-valued
-        record properties evaluate against this map as pure codegen
-        array expressions (zero joins per property)."""
+        struct<objs: array<struct<tid,o>>, ntot: long>> — the
+        relational analog of the reference's SP hash index
+        (rdf-dataset.ts:44-50), computed with ONE two-level aggregation
+        for the whole engine.  Leaf-valued record properties evaluate
+        against this map as pure codegen array expressions (zero joins
+        per property).
+
+        DEGREE CAP: each (subject, predicate) keeps only its first
+        ``max_gather_degree`` objects (by tid, via a ranked window —
+        the aggregation buffer itself is bounded, so a Zipf-head
+        subject with millions of triples can NOT produce one giant row
+        / executor OOM).  ``ntot`` carries the true count; fast-path
+        stats fail over-cap plain/optional properties with 204 (any
+        n≥2 fails regardless of content) and route over-cap set
+        properties to the general join path."""
         if self._sp_gather is None:
-            by_p = self.triples.groupBy(
-                F.expr(s_term_key("s")).alias("skey"), "p"
-            ).agg(F.expr("collect_list(struct(tid, o))").alias("objs"))
+            from pyspark.sql import Window
+
+            cap = self.max_gather_degree
+            w = Window.partitionBy("skey", "p").orderBy("tid")
+            ranked = self.triples.select(
+                F.expr(s_term_key("s")).alias("skey"), "p", "tid", "o",
+            ).withColumn("__rn", F.row_number().over(w)) \
+                .withColumn("__ntot", F.expr(
+                    "count(1) OVER (PARTITION BY skey, p)"))
+            by_p = ranked.where(F.col("__rn") <= cap + 1).groupBy(
+                "skey", "p"
+            ).agg(
+                F.expr("array_sort(collect_list(struct(tid, o)))")
+                .alias("objs"),
+                F.expr("max(__ntot)").alias("ntot"),
+            )
             self._sp_gather = by_p.groupBy("skey").agg(
-                F.expr("map_from_entries(collect_list(struct(p, objs)))")
+                F.expr("map_from_entries(collect_list("
+                       "struct(p, struct(objs, ntot))))")
                 .alias("__pmap")
-            ).localCheckpoint(eager=False)
+            ).persist()
         return self._sp_gather
 
     def _fast_kind(self, prop: Property) -> Optional[Tuple[str, Shape, Shape]]:
@@ -498,6 +525,12 @@ class FrameEngine:
         wrapper = self.catalog.get(prop.value_shape)
         if isinstance(wrapper, (OptionalShape, SetShape)) and \
                 not is_self_path(prop.path):
+            if isinstance(wrapper, SetShape) and (
+                    wrapper.max_count is None
+                    or wrapper.max_count > self.max_gather_degree):
+                # unbounded sets need every object; the degree-capped
+                # gather can't carry them — general join path instead
+                return None
             leaf = leaf_ok(wrapper.item_shape)
             if leaf is not None:
                 kind = "optional" if isinstance(wrapper, OptionalShape) else "set"
@@ -512,12 +545,13 @@ class FrameEngine:
         zero joins.  Returns a ``named_struct`` SQL expr string."""
         if is_self_path(prop.path):
             objs = "array(struct(ord AS tid, focus AS o))"
+            over_cap = "false"
         else:
-            objs = (
-                f"coalesce(try_element_at(__pmap, "
-                f"{s_str(prop.path.predicate)}), {EMPTY_OBJS_SQL})"
-            )
-        objs = f"array_sort({objs})"  # dataset order (tid is first field)
+            entry = f"try_element_at(__pmap, {s_str(prop.path.predicate)})"
+            # gather arrays arrive tid-sorted and capped; ntot is true
+            objs = f"coalesce(({entry}).objs, {EMPTY_OBJS_SQL})"
+            over_cap = (f"(coalesce(({entry}).ntot, 0) > "
+                        f"{self.max_gather_degree})")
 
         fail_x, code_x = self._s_node_checks(leaf, "x.o")
         matched = f"filter({objs}, x -> NOT {fail_x})"
@@ -548,11 +582,12 @@ class FrameEngine:
                 f"({fb} IS NOT NULL AND "
                 f"(({n}) < 2 OR ({fb}).tid < {second_tid}))"
             )
-            ok = f"({fb} IS NULL AND ({n}) = 1)"
-            value = (f"CASE WHEN ({n}) = 1 "
+            ok = f"(NOT {over_cap} AND {fb} IS NULL AND ({n}) = 1)"
+            value = (f"CASE WHEN NOT {over_cap} AND ({n}) = 1 "
                      f"THEN {self._s_node_value(leaf, f'({first_m}).o')} END")
             fcode = (
                 f"CASE WHEN {mism_first} THEN {code_fb} "
+                f"WHEN {over_cap} THEN {ERR_MULTIPLE_PROPERTY_MATCHES} "
                 f"WHEN ({n}) = 0 THEN {ERR_NO_PROPERTY_MATCHES} "
                 f"WHEN ({n}) >= 2 THEN {ERR_MULTIPLE_PROPERTY_MATCHES} END"
             )
@@ -570,13 +605,15 @@ class FrameEngine:
                 f"({mism} AND (({n}) < 2 OR ({fb}).tid < {second_tid}))"
             )
             lenient_lit = "true" if wrapper.lenient else "false"
-            ok = (f"(({n}) <= 1 AND ({lenient_lit} OR {fb} IS NULL))")
-            value = (f"CASE WHEN ({n}) = 1 "
+            ok = (f"(NOT {over_cap} AND ({n}) <= 1 "
+                  f"AND ({lenient_lit} OR {fb} IS NULL))")
+            value = (f"CASE WHEN NOT {over_cap} AND ({n}) = 1 "
                      f"THEN {self._s_node_value(leaf, f'({first_m}).o')} END")
             if wrapper.empty_is_null:
                 value = f"coalesce({value}, 'null')"
             fcode = (
                 f"CASE WHEN {mism_first} THEN {code_fb} "
+                f"WHEN {over_cap} THEN {ERR_MULTIPLE_PROPERTY_MATCHES} "
                 f"WHEN ({n}) >= 2 THEN {ERR_MULTIPLE_PROPERTY_MATCHES} END"
             )
             fstack = (
@@ -593,7 +630,7 @@ class FrameEngine:
             bounds = f"(({n}) >= {min_c})"
             if max_c is not None:
                 bounds += f" AND (({n}) <= {max_c})"
-            inner_ok = f"({fb} IS NULL AND {bounds})"
+            inner_ok = f"(NOT {over_cap} AND {fb} IS NULL AND {bounds})"
             ok = inner_ok
             items = (
                 f"array_join(transform({matched}, "
@@ -609,6 +646,7 @@ class FrameEngine:
                 fstack = rec_stack
             else:
                 fcode = f"CASE WHEN {fb} IS NOT NULL THEN {code_fb} " \
+                    f"WHEN {over_cap} THEN {ERR_MAX_COUNT} " \
                     f"WHEN ({n}) < {min_c} THEN {ERR_MIN_COUNT} "
                 if max_c is not None:
                     fcode += f"WHEN ({n}) > {max_c} THEN {ERR_MAX_COUNT} "
@@ -676,10 +714,11 @@ class FrameEngine:
                 stat_exprs.append(f"({st}) AS __st{i}")
         if len(stat_exprs) > 1:
             rc = rc.selectExpr(*stat_exprs)
-        # lazy checkpoint (not persist): rc is re-referenced by a dozen
-        # downstream ops; truncating its plan to a LogicalRDD makes each
-        # of those analyses O(1) instead of O(upstream plan)
-        rc = rc.localCheckpoint(eager=False)
+        # persist: rc is re-referenced by a dozen downstream ops; a
+        # checkpoint would truncate the plan, but under AQE even a lazy
+        # checkpoint EXECUTES the upstream stages at plan time — persist
+        # keeps construction lazy and still dedups execution
+        rc = rc.persist()
         gated = required or bool(shape.type_properties)
         n_type = len(shape.type_properties)
 
@@ -737,7 +776,7 @@ class FrameEngine:
             ).where("code IS NOT NULL")
 
         if any(e[0] == "slow" for _, e in tstats):
-            gate_ok = gate_ok.localCheckpoint(eager=False)
+            gate_ok = gate_ok.persist()
 
         # --- regular properties (strict once the gate matched)
         site_required = required or bool(shape.type_properties)
@@ -1114,7 +1153,7 @@ class FrameEngine:
         cand = uni.selectExpr(
             "'u' AS gid", f"{s_term_key('focus')} AS fkey",
             "focus", "ord", "CAST(NULL AS STRING) AS refk",
-        ).localCheckpoint(eager=False)
+        ).persist()
         groups = self.spark.createDataFrame(
             [("u", 0, "", None)],
             "gid string, gord long, stk string, edge string",
@@ -1188,7 +1227,7 @@ class FrameEngine:
             f"{lstk} AS lstk",
             f"({pfx}) AS pfx",
             f"md5(concat_ws({_SEP}, gid, fkey, {s_str(str(site))})) AS ckey",
-        ).localCheckpoint(eager=False)
+        ).persist()
 
         nonres0 = base.where(f"NOT {s_is_resource('focus')}")
         walk_fail: List[DataFrame] = [
