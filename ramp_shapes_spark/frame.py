@@ -176,6 +176,7 @@ class FrameEngine:
         self._collectors: Dict[str, List[DataFrame]] = {}
         self._universe: Optional[DataFrame] = None
         self._sp_gather: Optional[DataFrame] = None
+        self._entry_col: Optional[str] = None  # bound per fast-stat site
 
     # ------------------------------------------------------------------
     # public API
@@ -547,7 +548,10 @@ class FrameEngine:
             objs = "array(struct(ord AS tid, focus AS o))"
             over_cap = "false"
         else:
-            entry = f"try_element_at(__pmap, {s_str(prop.path.predicate)})"
+            # ``entry`` names a pre-bound column (__po{i}) selected once
+            # per property — referencing it keeps every stat expression
+            # small instead of inlining the map lookup ~8 times
+            entry = self._entry_col
             # gather arrays arrive tid-sorted and capped; ntot is true
             objs = f"coalesce(({entry}).objs, {EMPTY_OBJS_SQL})"
             over_cap = (f"(coalesce(({entry}).ntot, 0) > "
@@ -704,15 +708,30 @@ class FrameEngine:
 
         # materialize every fast-path stat struct as ONE real column so
         # downstream field accesses don't duplicate the (large) struct
-        # expression tree
+        # expression tree; project the gathered __pmap away at the same
+        # time — caching multi-KB map rows per candidate evicts the
+        # storage pool at scale and triggers recompute storms.  The map
+        # lookup per property is bound FIRST (__po{i}) so each stat
+        # references a narrow column instead of inlining the lookup.
         all_props = list(zip(shape.type_properties, fast_t)) + \
             list(zip(shape.properties, fast_r))
-        stat_exprs = ["*"]
+        base_cols = ["gid", "fkey", "focus", "ord", "gord", "refk",
+                     "cstk", "ckey"]
+        entry_exprs = list(base_cols)
+        for i, (prop, fk) in enumerate(all_props):
+            if fk is not None and not is_self_path(prop.path):
+                entry_exprs.append(
+                    f"try_element_at(__pmap, "
+                    f"{s_str(prop.path.predicate)}) AS __po{i}")
+        if len(entry_exprs) > len(base_cols):
+            rc = rc.selectExpr(*entry_exprs)
+        stat_exprs = list(base_cols)
         for i, (prop, fk) in enumerate(all_props):
             if fk is not None:
+                self._entry_col = f"__po{i}"
                 st = self._s_fast_stat(prop, fk[0], fk[1], fk[2], "cstk")
                 stat_exprs.append(f"({st}) AS __st{i}")
-        if len(stat_exprs) > 1:
+        if len(stat_exprs) > len(base_cols):
             rc = rc.selectExpr(*stat_exprs)
         # persist: rc is re-referenced by a dozen downstream ops; a
         # checkpoint would truncate the plan, but under AQE even a lazy
@@ -1163,6 +1182,11 @@ class FrameEngine:
         prev_sig: Dict[str, Tuple[int, int]] = {k: (-1, 0) for k in self._fix}
         suppress_prev = self._suppress_errors
         self._suppress_errors = True
+        # fixpoint rounds keep only (fkey, focus, ord, value) — mismatch
+        # diagnostics are discarded, so skip building their stack
+        # expressions entirely (major per-round construction savings)
+        diag_prev = self._diag
+        self._diag = False
         try:
             for _ in range(self.max_fixpoint_iterations):
                 new_fix: Dict[str, DataFrame] = {}
@@ -1192,6 +1216,7 @@ class FrameEngine:
         finally:
             self._fix_mode = False
             self._suppress_errors = suppress_prev
+            self._diag = diag_prev
         self._resolve_cycles(cand, targets)
         self._fix_done = True
 
