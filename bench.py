@@ -33,12 +33,16 @@ def main() -> None:
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        # coalesce tiny shuffle stages down to size, not to core count —
-        # per-task fixed cost dominates micro-stages; at 100 TB the same
-        # conf leaves large stages wide (they hit advisory size first)
+        # parallelismFirst=true: never coalesce a shuffle stage below
+        # the core count — compressed shuffle sizes undershoot the
+        # advisory and size-first coalescing was serializing heavy
+        # stages into 1-4 tasks (no scaling at any core count)
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
+                "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # shuffle to tmpfs: the sandbox's virtio disk is the bottleneck
+        # for shuffle-heavy stages and does not scale with cores
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -71,14 +75,39 @@ def main() -> None:
     allq = entrymod.queries()
     for name in [
         "frame_supplier_record", "frame_nation_suppliers_set",
-        "path_closure_chain",
-        "dedup_exact", "minhash_pairs", "token_stats",
+        "path_closure_chain", "path_one_or_more", "frame_map_nations",
+        "flatten_relational_counts",
+        "dedup_exact", "minhash_pairs", "minhash_banded_pairs",
+        "token_stats",
         "ann_brute_topk", "ann_ivf_topk", "cc_customer_chains",
         "events_sessions",
     ]:
         t0 = time.time()
         n = allq[name](spark, SF_DIR).count()
         queries[name] = round(time.time() - t0, 3)
+
+    # -- connected components on a Zipf-skewed 10^7-edge graph ----------
+    # (hot-node broadcast + AQE skew handling; rounds reported)
+    from pyspark.sql import functions as F  # noqa: E402
+    from ramp_shapes_spark.pipeline.canonicalize import (  # noqa: E402
+        connected_components,
+    )
+    n_edges = int(os.environ.get("SPARK_GRAFT_CC_EDGES", "10000000"))
+    n_nodes = n_edges  # one out-edge per node
+    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_003)) + 0.5) / 1_000_003.0
+    zipf_dst = F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(3.0)))
+    edges = (
+        spark.range(0, n_edges, 1, int(CPUS) * 2)
+        .select(
+            F.concat(F.lit("n"), F.col("id").cast("string")).alias("src"),
+            F.concat(F.lit("n"), zipf_dst.cast("long").cast("string"))
+            .alias("dst"),
+        )
+    )
+    cc_stats: dict = {}
+    t0 = time.time()
+    n_cc = connected_components(edges, hot_k=64, stats=cc_stats).count()
+    queries["cc_zipf_10m"] = round(time.time() - t0, 3)
 
     total = sum(queries.values())
     print(json.dumps({
@@ -89,6 +118,9 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_turns": n_turns,
         "n_triples": n_triples,
+        "cc_zipf_edges": n_edges,
+        "cc_zipf_rounds": cc_stats.get("rounds"),
+        "cc_zipf_nodes": n_cc,
         "gen_sec": round(gen_t, 3),
         "total_sec": round(total, 3),
         "cpus": int(CPUS),

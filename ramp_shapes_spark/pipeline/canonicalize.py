@@ -90,9 +90,13 @@ def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
-def connected_components(edges: DataFrame, hot_k: int = 64) -> DataFrame:
+def connected_components(edges: DataFrame, hot_k: int = 64,
+                         stats: dict | None = None) -> DataFrame:
     """(node, component) for every node in ``edges`` (src/dst string
-    columns); component = lexicographic minimum of the component."""
+    columns); component = lexicographic minimum of the component.
+
+    Pass a dict as ``stats`` to receive ``{"rounds": n}`` (each round =
+    one large-star + one small-star pass)."""
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
         .distinct().localCheckpoint(eager=False)
 
@@ -108,8 +112,17 @@ def connected_components(edges: DataFrame, hot_k: int = 64) -> DataFrame:
             hot_nodes = edges.sparkSession.createDataFrame(
                 [(r["n"],) for r in hot_rows], "n string")
 
+    # rounds must not let partition counts drift: the star unions double
+    # the partition count each use and broadcast-join plans skip AQE
+    # coalescing, so an unbounded loop snowballs into hundreds of
+    # micro-tasks per stage — re-bucket every round to a fixed width
+    # (NOT edges.rdd.getNumPartitions(): .rdd on an AQE plan executes it)
+    n_parts = max(2, edges.sparkSession.sparkContext.defaultParallelism)
+
     prev_sig = None
+    rounds = 0
     for _ in range(MAX_ROUNDS):
+        rounds += 1
         nbrs = _nbrs(cur)
         minn = _min_nbr(nbrs)
         cur = _apply_star(nbrs, minn, large=True, hot_nodes=hot_nodes)
@@ -118,6 +131,7 @@ def connected_components(edges: DataFrame, hot_k: int = 64) -> DataFrame:
         # lazy checkpoint: the signature aggregate below materializes it,
         # so each round costs exactly one job
         cur = _apply_star(nbrs, minn, large=False, hot_nodes=hot_nodes) \
+            .repartition(n_parts, "src") \
             .localCheckpoint(eager=False)
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
@@ -129,6 +143,8 @@ def connected_components(edges: DataFrame, hot_k: int = 64) -> DataFrame:
         prev_sig = sig
     else:
         raise RuntimeError("connected components did not converge")
+    if stats is not None:
+        stats["rounds"] = rounds
 
     # after convergence every edge points to the component minimum
     members = cur.select(F.col("src").alias("node"),

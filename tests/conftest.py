@@ -16,7 +16,7 @@ def spark():
                 os.environ.get("SPARK_TEST_SHUFFLE_PARTITIONS", "1"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
+                "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -53,11 +53,12 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.sql.shuffle.partitions", "32")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                 "false")
+                 "true")
          .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
-         .config("spark.driver.memory", "40g")
+         .config("spark.driver.memory", "20g")
+         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
          .config("spark.local.dir", "/dev/shm/spark-local")
          .appName(f"scaling-{cpus}").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
