@@ -1,0 +1,380 @@
+"""Fast-tree record compiler: whole-shape-tree evaluation off the
+gathered subject-property map.
+
+The general record compiler (:mod:`ramp_shapes_spark.frame`) threads
+candidate sets and error groups through every evaluation site — ~40
+DataFrame operations per record site, each costing a full JVM analysis
+pass, plus one exchange per site join.  For the common KG case — a
+record tree whose properties are leaf values, optional/set wrappers,
+nested records, or reference-keyed maps over single forward/inverse
+predicates — the whole tree collapses to:
+
+* ONE relation per record shape: ``(fkey, __fval)`` for every matching
+  subject, derived from the shared per-subject gather
+  (:meth:`FrameEngine.subject_props`) with one fused ``selectExpr``
+  (all leaf property stats) plus one left join per record-valued /
+  set-valued / map-valued property;
+* relations are memoized per (shape, capture) on the engine, so a
+  shape referenced from several sites is compiled and executed once —
+  the distributed analog of the reference's ``(shape, term)`` match
+  memoization (frame.ts:228-236);
+* evaluation sites join the relation on the candidate key — matches
+  and mismatch rows in two operations.
+
+Semantics parity: leaf stats reuse the general path's
+``_s_fast_stat`` / ``_s_node_value`` expression builders verbatim;
+exactly-one enforcement for record-valued properties follows
+frame.ts:281-305 (any path candidate that mismatches fails the
+property, so a single-object edge must both be unique and match); set
+item mismatches fail the set (frame.ts:429-469); map entries are keyed
+by a captured sub-match part (frame.ts:642-696).
+
+Only available without the error channel (``track_errors=False``):
+mismatch rows carry no codes/stacks.  100 TB shape: everything is one
+pass over the gather relation (already bucketed by subject) plus
+per-predicate aggregations of the triples table — no per-site
+candidate shuffles, no md5 key chains.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .shapes import (
+    InversePath, LiteralShape, MapShape, OptionalShape, PredicatePath,
+    Property, RecordShape, ResourceShape, SetShape, Shape, ShapeID,
+    is_self_path,
+)
+from .sqlutil import s_json_quote as _s_json_quote, s_str, s_term_key
+
+__all__ = ["qualifies", "record_rel"]
+
+
+def _leaf(engine, sid: ShapeID) -> Optional[Shape]:
+    s = engine.catalog.get(sid)
+    if not isinstance(s, (ResourceShape, LiteralShape)):
+        return None
+    if isinstance(s, ResourceShape) and s.vocabulary is not None:
+        return None  # vocabulary misses need the error channel
+    if sid.key() in engine._collectors:
+        return None  # captured by an outer computed-property/map context
+    return s
+
+
+def _pred_of(path) -> Optional[Tuple[str, bool]]:
+    """(predicate, is_inverse) for single-step paths, else None."""
+    if isinstance(path, PredicatePath):
+        return path.predicate, False
+    if isinstance(path, InversePath) and \
+            isinstance(path.inverse, PredicatePath):
+        return path.inverse.predicate, True
+    return None
+
+
+def _classify(engine, prop: Property):
+    """Property plan: ('gather', kind, wrapper, leaf) via the pmap;
+    ('record', pred, inv, child_sid); ('bigset', pred, inv, set, leaf);
+    ('bigsetrec', pred, inv, set, child_sid);
+    ('map', pred, inv, map, item_sid, key_prop, part); or None."""
+    fk = engine._fast_kind(prop)
+    if fk is not None:
+        return ("gather", fk[0], fk[1], fk[2])
+    pi = _pred_of(prop.path)
+    if pi is None:
+        return None
+    pred, inv = pi
+    vs = engine.catalog.get(prop.value_shape)
+    if isinstance(vs, RecordShape) and qualifies(engine, vs):
+        return ("record", pred, inv, prop.value_shape)
+    if isinstance(vs, SetShape):
+        leaf = _leaf(engine, vs.item_shape)
+        if leaf is not None:
+            return ("bigset", pred, inv, vs, leaf)
+        its = engine.catalog.get(vs.item_shape)
+        if isinstance(its, RecordShape) and qualifies(engine, its):
+            return ("bigsetrec", pred, inv, vs, vs.item_shape)
+        return None
+    if isinstance(vs, MapShape):
+        if vs.value is not None:
+            return None  # value-refs: general path
+        item = engine.catalog.get(vs.item_shape)
+        if not (isinstance(item, RecordShape) and qualifies(engine, item)):
+            return None
+        # key must be captured from a PLAIN (exactly-one) direct leaf
+        # property of the item record, so every matching item has
+        # exactly one captured key term (no code-217 cases)
+        target_key = vs.key.target.key()
+        key_prop = None
+        for p in item.type_properties + item.properties:
+            if p.value_shape.key() == target_key:
+                pf = engine._fast_kind(p)
+                if pf is not None and pf[0] == "plain" and \
+                        not is_self_path(p.path):
+                    key_prop = p
+                break
+        if key_prop is None:
+            return None
+        return ("map", pred, inv, vs, vs.item_shape, key_prop,
+                vs.key.part or "value")
+    return None
+
+
+def qualifies(engine, shape: Shape) -> bool:
+    """Whole record tree expressible as fast relations?"""
+    if not isinstance(shape, RecordShape):
+        return False
+    key = shape.id.key()
+    cached = engine._fast_ok.get(key)
+    if cached is not None:
+        return cached
+    engine._fast_ok[key] = False  # cycle guard (recursive → general path)
+    ok = (
+        key not in engine.recursive_ids
+        and not shape.computed_properties
+        and all(
+            engine._fast_kind(p) is not None
+            for p in shape.type_properties
+        )
+        and all(_classify(engine, p) is not None for p in shape.properties)
+        # anchor: at least one exactly-one forward property guarantees
+        # every match appears in the subject gather
+        and any(
+            (engine._fast_kind(p) or ("",))[0] == "plain"
+            and not is_self_path(p.path)
+            for p in shape.type_properties + shape.properties
+        )
+    )
+    engine._fast_ok[key] = ok
+    return ok
+
+
+# subjects are IRIs/bnodes → dt/lang components of the key are always
+# the null sentinel; reconstruct the TERM struct from the string key
+_FOCUS_SQL = (
+    "named_struct("
+    f"'kind', split(skey, {s_str(chr(31))})[0], "
+    f"'value', split(skey, {s_str(chr(31))})[1], "
+    "'dt', CAST(NULL AS STRING), 'lang', CAST(NULL AS STRING))"
+)
+
+
+def _edges(engine, pred: str, inv: bool) -> DataFrame:
+    src, dst = ("o", "s") if inv else ("s", "o")
+    t = engine.triples.where(F.col("p") == F.lit(pred))
+    return t.select(
+        F.expr(s_term_key(src)).alias("__ek"),
+        F.col(dst).alias("__eo"), F.col("tid").alias("__etid"),
+    )
+
+
+def record_rel(engine, sid: ShapeID) -> DataFrame:
+    """Memoized match relation (fkey, __fval) of a qualifying record."""
+    key = sid.key()
+    rel = engine._fast_rel.get(key)
+    if rel is not None:
+        return rel
+    rel = _build_rel(engine, sid, capture=None)[0]
+    engine._fast_rel[key] = rel
+    return rel
+
+
+def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
+    """Build the match relation.  ``capture`` (a plain leaf property of
+    this record) additionally exports ``__capt`` — the matched object
+    TERM of that property — for map-key referencing.  Returns
+    (relation, n_joins) where relation is (fkey, __fval[, __capt])."""
+    shape: RecordShape = engine.catalog.get(sid)
+    base = engine.subject_props()  # (skey, __pmap)
+
+    all_props: List[Tuple[Property, tuple]] = [
+        (p, _classify(engine, p))
+        for p in list(shape.type_properties) + list(shape.properties)
+    ]
+    n_type = len(shape.type_properties)
+
+    # --- fused leaf stats off the gather map (one selectExpr)
+    exprs = ["skey", f"{_FOCUS_SQL} AS focus", "CAST(0 AS BIGINT) AS ord"]
+    join_specs = []  # (colname, ok_sql, frag_sql or None, joined_df)
+    for i, (prop, plan) in enumerate(all_props):
+        if plan[0] == "gather":
+            if not is_self_path(prop.path):
+                exprs.append(
+                    f"try_element_at(__pmap, "
+                    f"{s_str(prop.path.predicate)}) AS __po{i}")
+    stat_cols: Dict[int, str] = {}
+    for i, (prop, plan) in enumerate(all_props):
+        if plan[0] == "gather":
+            engine._entry_col = f"__po{i}"
+            st = engine._s_fast_stat(prop, plan[1], plan[2], plan[3], "''")
+            exprs.append(f"({st}) AS __st{i}")
+            stat_cols[i] = f"__st{i}"
+            if capture is not None and prop is capture:
+                # first matched object term (exactly-one ⇒ unique)
+                fail_x, _ = engine._s_node_checks(plan[3], "x.o")
+                objs = f"coalesce((__po{i}).objs, array())"
+                exprs.append(
+                    f"(try_element_at(filter({objs}, "
+                    f"x -> NOT {fail_x}), 1)).o AS __capt")
+    rel = base.selectExpr(*exprs)
+
+    # --- per-predicate joins for record/set/map-valued properties
+    for i, (prop, plan) in enumerate(all_props):
+        kind = plan[0]
+        if kind == "gather":
+            continue
+        pred, inv = plan[1], plan[2]
+        e = _edges(engine, pred, inv)
+        if kind == "record":
+            child = record_rel(engine, plan[3]).selectExpr(
+                f"fkey AS __ck{i}", f"__fval AS __cv{i}")
+            # exactly-one: the subject must have exactly one edge AND
+            # its object must match the child shape (frame.ts:281-305)
+            agg = e.groupBy("__ek").agg(
+                F.expr("count(1)").alias(f"__n{i}"),
+                F.expr("min(struct(__etid, __eo))").alias(f"__e1{i}"),
+            )
+            rel = rel.join(agg, rel["skey"] == agg["__ek"], "left") \
+                .drop("__ek")
+            rel = rel.withColumn(
+                f"__ok1{i}", F.expr(f"coalesce(__n{i}, 0) = 1"))
+            okey = f"CASE WHEN __ok1{i} THEN " \
+                f"{s_term_key(f'(__e1{i}).__eo')} END"
+            rel = rel.selectExpr("*", f"({okey}) AS __okey{i}") \
+                .drop(f"__n{i}", f"__e1{i}")
+            rel = rel.join(
+                child, rel[f"__okey{i}"] == child[f"__ck{i}"], "left",
+            ).drop(f"__ck{i}", f"__okey{i}")
+            ok = f"(__ok1{i} AND __cv{i} IS NOT NULL)"
+            frag = None if prop.transient else (
+                f"CASE WHEN {ok} THEN "
+                f"concat({s_str(_jkey(prop))}, __cv{i}) END")
+            join_specs.append((i, ok, frag))
+        elif kind in ("bigset", "bigsetrec"):
+            sshape: SetShape = plan[3]
+            if kind == "bigset":
+                leaf = plan[4]
+                fail_x, _ = engine._s_node_checks(leaf, "__eo")
+                vj = engine._s_node_value(leaf, "__eo")
+                ee = e.selectExpr(
+                    "__ek", "__etid",
+                    f"CASE WHEN NOT ({fail_x}) THEN ({vj}) END AS __ev")
+            else:
+                child = record_rel(engine, plan[4]).selectExpr(
+                    f"fkey AS __ck{i}", "__fval AS __cv")
+                ee = e.join(
+                    child,
+                    F.expr(s_term_key("__eo")) == child[f"__ck{i}"], "left",
+                ).selectExpr("__ek", "__etid", "__cv AS __ev")
+            agg = ee.groupBy("__ek").agg(
+                F.expr("count(1)").alias("__nt"),
+                F.expr("count(__ev)").alias("__nm"),
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "CASE WHEN __ev IS NOT NULL THEN "
+                    "struct(__etid, __ev) END)), x -> x.__ev), ',')"
+                ).alias("__items"),
+            ).selectExpr(
+                "__ek", "__nt", "__nm",
+                "concat('[', __items, ']') AS __sv",
+            )
+            agg = agg.selectExpr(
+                f"__ek AS __sk{i}", f"__nt AS __nt{i}",
+                f"__nm AS __nm{i}", f"__sv AS __sv{i}")
+            rel = rel.join(agg, rel["skey"] == agg[f"__sk{i}"], "left") \
+                .drop(f"__sk{i}")
+            min_c = sshape.min_count or 0
+            max_c = sshape.max_count
+            n = f"coalesce(__nm{i}, 0)"
+            # any mismatching item fails the set (frame.ts:436-447); a
+            # lenient set's failure is silently skipped but the parent
+            # property then has no match — same record-level outcome
+            ok = f"(coalesce(__nt{i}, 0) = {n} AND ({n}) >= {min_c}"
+            if max_c is not None:
+                ok += f" AND ({n}) <= {max_c}"
+            ok += ")"
+            val = f"coalesce(__sv{i}, '[]')"
+            frag = None if prop.transient else (
+                f"CASE WHEN {ok} THEN "
+                f"concat({s_str(_jkey(prop))}, {val}) END")
+            join_specs.append((i, ok, frag))
+        elif kind == "map":
+            item_sid, key_prop, part = plan[4], plan[5], plan[6]
+            ikey = item_sid.key() + "\x1e" + key_prop.name
+            child = engine._fast_rel.get(ikey)
+            if child is None:
+                child = _build_rel(engine, item_sid, capture=key_prop)[0]
+                engine._fast_rel[ikey] = child
+            part_col = (
+                "(__capt).value" if part == "value" else
+                "(__capt).dt" if part == "datatype" else "(__capt).lang"
+            )
+            cj = child.selectExpr(
+                f"fkey AS __ck{i}", "__fval AS __cv",
+                f"{part_col} AS __ckey")
+            ee = e.join(
+                cj, F.expr(s_term_key("__eo")) == cj[f"__ck{i}"], "left",
+            ).selectExpr(
+                "__ek", "__etid", "__cv",
+                f"CASE WHEN __cv IS NOT NULL THEN concat("
+                f"{_s_json_quote('__ckey')}, ':', __cv) END AS __entry",
+            )
+            agg = ee.groupBy("__ek").agg(
+                F.expr("count(1)").alias("__nt"),
+                F.expr("count(__cv)").alias("__nm"),
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "CASE WHEN __entry IS NOT NULL THEN "
+                    "struct(__etid, __entry) END)), x -> x.__entry), ',')"
+                ).alias("__body"),
+            ).selectExpr(
+                f"__ek AS __sk{i}", f"__nt AS __nt{i}",
+                f"__nm AS __nm{i}",
+                f"concat('{{', __body, '}}') AS __mv{i}",
+            )
+            rel = rel.join(agg, rel["skey"] == agg[f"__sk{i}"], "left") \
+                .drop(f"__sk{i}")
+            # any item that fails to frame (or key to capture) fails
+            # the whole map (frame.ts:664-690 / code 217 replay)
+            ok = f"(coalesce(__nt{i}, 0) = coalesce(__nm{i}, 0))"
+            val = f"coalesce(__mv{i}, '{{}}')"
+            frag = None if prop.transient else (
+                f"CASE WHEN {ok} THEN "
+                f"concat({s_str(_jkey(prop))}, {val}) END")
+            join_specs.append((i, ok, frag))
+
+    # --- final assembly: gate + value JSON in one selectExpr
+    ok_parts: List[str] = []
+    for i, (prop, plan) in enumerate(all_props):
+        if plan[0] == "gather":
+            ok_parts.append(f"({stat_cols[i]}.ok)")
+    for i, ok, frag in join_specs:
+        ok_parts.append(ok)
+    # preserve the general path's key order (type props, then props,
+    # declaration order)
+    ordered: List[str] = []
+    for i, (prop, plan) in enumerate(all_props):
+        if prop.transient:
+            continue
+        if plan[0] == "gather":
+            st = stat_cols[i]
+            ordered.append(
+                f"CASE WHEN ({st}).value IS NOT NULL THEN "
+                f"concat({s_str(_jkey(prop))}, ({st}).value) END")
+        else:
+            spec = next(f for j, _, f in join_specs if j == i)
+            if spec is not None:
+                ordered.append(spec)
+    body = f"concat_ws(',', {', '.join(ordered)})" if ordered else "''"
+    ok_all = " AND ".join(ok_parts) if ok_parts else "true"
+    out_cols = ["skey AS fkey", f"concat('{{', {body}, '}}') AS __fval"]
+    if capture is not None:
+        out_cols.append("__capt")
+    return rel.where(ok_all).selectExpr(*out_cols), len(join_specs)
+
+
+def _jkey(prop: Property) -> str:
+    import json
+    return json.dumps(prop.name) + ":"

@@ -153,16 +153,28 @@ class FrameEngine:
                  triples: DataFrame, max_fixpoint_iterations: int = 64,
                  max_list_length: int = 10_000,
                  diagnostics: bool = True,
-                 max_gather_degree: int = 1024) -> None:
+                 max_gather_degree: int = 1024,
+                 track_errors: bool = True) -> None:
         """``diagnostics=False`` keeps the error channel's structure and
         codes but replaces the shape-STACK string expressions (the bulk
         of every compiled plan's expression text) with NULL — pipelines
         that route errors by code but never render stacks compile and
-        run measurably faster.  Fixture comparisons need the default."""
+        run measurably faster.  Fixture comparisons need the default.
+
+        ``track_errors=False`` goes further: the error channel is
+        abandoned entirely (``FrameResult.errors`` is always empty).
+        Mismatch *rows* are still produced — they are load-bearing for
+        match semantics (any Mismatch among a property's candidates
+        fails the property, frame.ts:281-289) — but without codes,
+        stacks, or group-order bookkeeping, which removes one
+        ``groups`` join per node/record site from both plan
+        construction and execution.  Use for match-only consumers
+        (benchmark queries, read paths that never inspect errors)."""
         self.spark = spark
         self.catalog = catalog
         self.triples = triples
-        self._diag = diagnostics
+        self._diag = diagnostics and track_errors
+        self._track = track_errors
         self.recursive_ids = catalog.recursive_shape_ids()
         self.max_fixpoint_iterations = max_fixpoint_iterations
         self.max_list_length = max_list_length
@@ -177,6 +189,9 @@ class FrameEngine:
         self._universe: Optional[DataFrame] = None
         self._sp_gather: Optional[DataFrame] = None
         self._entry_col: Optional[str] = None  # bound per fast-stat site
+        self._empty_cache: Dict[str, DataFrame] = {}
+        self._fast_ok: Dict[str, bool] = {}   # fastframe qualification
+        self._fast_rel: Dict[str, DataFrame] = {}  # fastframe relations
 
     # ------------------------------------------------------------------
     # public API
@@ -240,8 +255,12 @@ class FrameEngine:
             # even a "lazy" one — materializes every upstream query
             # stage at plan time (AdaptiveSparkPlan.doExecute), turning
             # plan construction into serial execution; persist() is the
-            # only truly lazy reuse marker
-            self._universe = all_candidate_terms(self.triples).persist()
+            # only truly lazy reuse marker.  Only worth the (driver-
+            # expensive) cache registration when the fixpoint loop will
+            # re-read it; a one-shot frame() reads it once.
+            self._universe = all_candidate_terms(self.triples)
+            if self.recursive_ids:
+                self._universe = self._universe.persist()
         return self._universe
 
     def _collect_errors(self, errs: List[DataFrame]) -> DataFrame:
@@ -260,10 +279,12 @@ class FrameEngine:
         return self._site
 
     def _empty(self, schema: str) -> DataFrame:
-        return self.spark.createDataFrame([], schema)
+        if schema not in self._empty_cache:
+            self._empty_cache[schema] = self.spark.createDataFrame([], schema)
+        return self._empty_cache[schema]
 
     def _emit(self, mismatches: DataFrame) -> None:
-        if self._suppress_errors:
+        if self._suppress_errors or not self._track:
             return
         site = self._next_site()
         self._errors.append(
@@ -390,13 +411,24 @@ class FrameEngine:
 
         matched = cand.where(f"NOT {fail}")
 
-        # mismatch diagnostics (matchesTerm's first failing check)
-        frame = self._s_frame_json(shape, "edge", f)
-        mismatches = cand.where(fail).join(groups, "gid").selectExpr(
-            "gid", "fkey", "focus", "ord", "gord",
-            f"({code}) AS code",
-            f"{self._s_stack('stk', frame)} AS stack",
-        )
+        # mismatch diagnostics (matchesTerm's first failing check);
+        # without error tracking the mismatch ROWS remain (they decide
+        # exactly-one / anyOf semantics) but skip the groups join and
+        # code/stack assembly
+        if self._track:
+            frame = self._s_frame_json(shape, "edge", f)
+            mismatches = cand.where(fail).join(groups, "gid").selectExpr(
+                "gid", "fkey", "focus", "ord", "gord",
+                f"({code}) AS code",
+                f"{self._s_stack('stk', frame)} AS stack",
+            )
+        else:
+            mismatches = cand.where(fail).selectExpr(
+                "gid", "fkey", "focus", "ord",
+                "CAST(0 AS BIGINT) AS gord",
+                "CAST(NULL AS INT) AS code",
+                "CAST(NULL AS STRING) AS stack",
+            )
 
         self._capture_refs(shape, matched)
 
@@ -409,7 +441,7 @@ class FrameEngine:
             raw = f"try_element_at(map({entries}), {s_term_key(f)})"
             with_v = matched.selectExpr("*", f"{raw} AS __vv")
             missed = with_v.where("__vv IS NULL")
-            if not self._suppress_errors:
+            if not self._suppress_errors and self._track:
                 mg = missed.join(groups, "gid")
                 self._emit(mg.selectExpr(
                     "gid", "fkey", "focus", "ord", "gord",
@@ -669,8 +701,31 @@ class FrameEngine:
 
     def _compile_record(self, shape: RecordShape, cand: DataFrame,
                         groups: DataFrame, required: bool) -> Result:
+        if not self._track and not self._fix_mode:
+            from . import fastframe
+            if fastframe.qualifies(self, shape):
+                # whole-tree relation off the shared gather (memoized
+                # per shape): a site is two joins, not a sub-program
+                rel = fastframe.record_rel(self, shape.id)
+                matches = cand.join(rel, "fkey").selectExpr(
+                    "gid", "fkey", "focus", "'' AS vkey", "ord",
+                    "__fval AS value",
+                )
+                mism = cand.join(rel.select("fkey"), "fkey", "left_anti") \
+                    .selectExpr(
+                        "gid", "fkey", "focus", "ord",
+                        "CAST(0 AS BIGINT) AS gord",
+                        "CAST(NULL AS INT) AS code",
+                        "CAST(NULL AS STRING) AS stack",
+                    )
+                return Result(matches, mism, per_group=False)
         site = self._next_site()
-        c = cand.join(groups, "gid")
+        if self._track:
+            c = cand.join(groups, "gid")
+        else:
+            # no error channel → gord/stk are inert; skip the groups
+            # join (one exchange per record site) and carry literals
+            c = cand.selectExpr("*", "CAST(0 AS BIGINT) AS gord")
         if self._diag:
             own_frame = self._s_frame_json(shape, "edge", "focus")
             cstk = (f"CASE WHEN stk = '' THEN {own_frame} "
@@ -712,34 +767,42 @@ class FrameEngine:
         # time — caching multi-KB map rows per candidate evicts the
         # storage pool at scale and triggers recompute storms.  The map
         # lookup per property is bound FIRST (__po{i}) so each stat
-        # references a narrow column instead of inlining the lookup.
+        # references a narrow column instead of inlining the lookup —
+        # both in ONE selectExpr via lateral column aliases (each
+        # DataFrame op costs a full JVM analysis pass; fusing halves
+        # the per-record-site construction time).
         all_props = list(zip(shape.type_properties, fast_t)) + \
             list(zip(shape.properties, fast_r))
         base_cols = ["gid", "fkey", "focus", "ord", "gord", "refk",
                      "cstk", "ckey"]
-        entry_exprs = list(base_cols)
+        fused_exprs = list(base_cols)
         for i, (prop, fk) in enumerate(all_props):
             if fk is not None and not is_self_path(prop.path):
-                entry_exprs.append(
+                fused_exprs.append(
                     f"try_element_at(__pmap, "
                     f"{s_str(prop.path.predicate)}) AS __po{i}")
-        if len(entry_exprs) > len(base_cols):
-            rc = rc.selectExpr(*entry_exprs)
-        stat_exprs = list(base_cols)
         for i, (prop, fk) in enumerate(all_props):
             if fk is not None:
                 self._entry_col = f"__po{i}"
                 st = self._s_fast_stat(prop, fk[0], fk[1], fk[2], "cstk")
-                stat_exprs.append(f"({st}) AS __st{i}")
-        if len(stat_exprs) > len(base_cols):
-            rc = rc.selectExpr(*stat_exprs)
-        # persist: rc is re-referenced by a dozen downstream ops; a
-        # checkpoint would truncate the plan, but under AQE even a lazy
-        # checkpoint EXECUTES the upstream stages at plan time — persist
-        # keeps construction lazy and still dedups execution
-        rc = rc.persist()
+                fused_exprs.append(f"({st}) AS __st{i}")
+        if len(fused_exprs) > len(base_cols):
+            rc = rc.selectExpr(*fused_exprs) \
+                .drop(*[f"__po{i}" for i, (p, fk) in enumerate(all_props)
+                        if fk is not None and not is_self_path(p.path)])
         gated = required or bool(shape.type_properties)
         n_type = len(shape.type_properties)
+
+        has_slow = any(x is None for x in fast_t + fast_r)
+        if has_slow or collecting or self._track:
+            # persist: rc is re-referenced by several downstream ops; a
+            # checkpoint would truncate the plan, but under AQE even a
+            # lazy checkpoint EXECUTES the upstream stages at plan time
+            # — persist keeps construction lazy and still dedups
+            # execution.  With only fast properties and no error
+            # channel, the match path reads rc exactly once — skip the
+            # (driver-expensive) cache registration.
+            rc = rc.persist()
 
         # --- type properties (the gate, frame.ts:248-253)
         gate_ok = rc
@@ -765,8 +828,21 @@ class FrameEngine:
                 )
 
         # gate-failure diagnostics: first failing type property in
-        # declaration order (fast conds inline; slow via join)
-        if shape.type_properties:
+        # declaration order (fast conds inline; slow via join).
+        # Without error tracking only the ROWS matter (a gate-failing
+        # candidate is a Mismatch to the parent) — derive them with a
+        # filter / anti-join instead of the per-property diag joins.
+        if shape.type_properties and not self._track:
+            if all(e[0] == "fast" for _, e in tstats):
+                gfail = rc.where("NOT (" + " AND ".join(fast_gate_conds) + ")")
+            else:
+                gfail = rc.join(gate_ok.select("ckey"), "ckey", "left_anti")
+            gate_fail_diag = gfail.selectExpr(
+                "gid", "fkey", "focus", "ord", "gord",
+                "CAST(NULL AS INT) AS code",
+                "CAST(NULL AS STRING) AS stack",
+            )
+        elif shape.type_properties:
             gfail = rc
             code_frags: List[str] = []
             stack_frags: List[str] = []
@@ -1005,6 +1081,14 @@ class FrameEngine:
 
         # diagnostic: the replay error = first variant's failure
         # (frame.ts:415-422)
+        if not self._track:
+            mism = unmatched.selectExpr(
+                "gid", "fkey", "focus", "ord",
+                "CAST(0 AS BIGINT) AS gord",
+                "CAST(NULL AS INT) AS code",
+                "CAST(NULL AS STRING) AS stack",
+            )
+            return Result(matches, mism, per_group=False)
         v0 = vres[0]
         if v0.per_group:
             diag = v0.mismatches.selectExpr(
@@ -1461,6 +1545,9 @@ class FrameEngine:
         val_ref = shape.value
         if val_ref is not None:
             self._collectors.setdefault(val_ref.target.key(), [])
+        # active collectors disqualify fast-tree subtrees (they must
+        # capture refs through the general path) — invalidate the cache
+        self._fast_ok.clear()
         ires = self.compile(shape.item_shape, cand2, groups2, required)
 
         def _ref_relation(target_key: str, alias: str) -> DataFrame:
@@ -1563,6 +1650,7 @@ class FrameEngine:
         for cp in shape.computed_properties:
             for target in self._open_ref_targets(cp.value_shape):
                 self._collectors.setdefault(target, [])
+        self._fast_ok.clear()
 
     def _deactivate_collectors(self, shape: RecordShape) -> None:
         pass  # collector DFs are consumed by _computed_fragments

@@ -106,7 +106,7 @@ def q_frame_supplier_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(supplier)
     return res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -139,7 +139,7 @@ def q_frame_nation_suppliers_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(nation)
     parsed = res.matches.select(
         F.get_json_object("value", "$.name").alias("n_name"),
@@ -193,7 +193,7 @@ def q_frame_order_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     engine = FrameEngine(spark, b.catalog, orders_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(order)
     return res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -228,7 +228,7 @@ def q_path_sequence_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(supplier)
     return res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -296,7 +296,7 @@ def q_path_closure_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     engine = FrameEngine(spark, b.catalog,
                          lineitem_chain_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(line)
     parsed = res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -347,7 +347,7 @@ def q_flatten_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(supplier)
     values = res.matches.select(
         F.get_json_object("value", "$.id").alias("seed"), "value"
@@ -396,7 +396,7 @@ def q_path_alternative_places(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(supplier)
     parsed = res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -440,7 +440,7 @@ def q_path_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = _chain_shape(b, OneOrMorePath(PredicatePath(EX + "next")))
     engine = FrameEngine(spark, b.catalog,
                          lineitem_chain_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(line)
     parsed = res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -477,7 +477,7 @@ def q_path_zero_or_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = _chain_shape(b, ZeroOrOnePath(PredicatePath(EX + "next")))
     engine = FrameEngine(spark, b.catalog,
                          lineitem_chain_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(line)
     parsed = res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -522,7 +522,7 @@ def q_vocabulary_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(nation)
     return res.matches.select(
         F.get_json_object("value", "$.id").alias("subject"),
@@ -563,7 +563,7 @@ def q_frame_map_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(region)
     return res.matches.select(
         F.get_json_object("value", "$.id").alias("region"),
@@ -606,7 +606,7 @@ def q_flatten_relational_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert supports_shape(b.catalog, supplier)
     engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
-                         diagnostics=False)
+                         diagnostics=False, track_errors=False)
     res = engine.frame(supplier)
     values = res.matches.select(
         F.get_json_object("value", "$.id").alias("seed"), "value"

@@ -106,53 +106,59 @@ def eval_path(
             union = union.unionAll(other)
         return _dedup(union, keys)
 
-    if isinstance(path, (ZeroOrMorePath, ZeroOrOnePath, OneOrMorePath)):
+    if isinstance(path, ZeroOrOnePath):
+        # self ∪ one step — no iteration, no driver actions
+        step = eval_path(path.path, df, keys, triples, reverse)
+        return _dedup(df.select(*keys, "node", "tord").unionAll(step), keys)
+
+    if isinstance(path, (ZeroOrMorePath, OneOrMorePath)):
         inner = path.path
-        include_self = isinstance(path, (ZeroOrMorePath, ZeroOrOnePath))
-        once = isinstance(path, ZeroOrOnePath)
+        include_self = isinstance(path, ZeroOrMorePath)
 
-        seen = df.select(*keys, "node", "tord") if include_self else None
-        frontier = df.select(*keys, "node", "tord")
-        result = seen
-
-        def row_key(dfx: DataFrame) -> "F.Column":
-            return F.concat_ws(
-                "\x1e", *[dfx[k] for k in keys], term_key_col(dfx["node"])
-            )
-
+        # Transitive closure by POINTER DOUBLING over the DISTINCT node
+        # set: R_{k+1} = R_k ∪ R_k∘R_k covers distances 1..2^(k+1), so
+        # the driver loop runs ceil(log2(diameter)) rounds instead of
+        # `diameter` (a 7-hop chain closes in 3 rounds, a 10^6-hop chain
+        # in 20).  The closure relation is keyed by the source TERM, not
+        # the per-site candidate key — sites re-join at the end, so the
+        # loop's shuffles move (u, v) term pairs only.  Scale note: the
+        # output IS the full reachability relation (what the caller
+        # asked for), so doubling does not change the asymptotic result
+        # size; each round is one equi-join + one min-aggregation.
+        srcs = df.select("node").groupBy("node").agg(
+            F.lit(0).alias("__z")
+        ).select(
+            term_key_col(F.col("node")).alias("__u"),
+            "node", F.lit(0).cast("long").alias("tord"),
+        )
+        # E: one application of ``inner`` from every distinct node;
+        # tord = min tid over final (single) steps — the invariant the
+        # doubling rounds preserve for every pair
+        r = eval_path(inner, srcs, ["__u"], triples, reverse) \
+            .localCheckpoint(eager=False)
+        total = r.count()
         iterations = 0
-        while True:
+        while total > 0:
             iterations += 1
-            step = eval_path(inner, frontier, keys, triples, reverse)
-            if result is not None:
-                seen_keys = result.select(
-                    row_key(result).alias("__seen_k")
-                ).distinct()
-                new = (
-                    step.withColumn("__k", row_key(step))
-                    .join(seen_keys, F.col("__k") == F.col("__seen_k"),
-                          "left_anti")
-                    .drop("__k")
-                )
-            else:
-                new = step
-            # lazy checkpoint + count: ONE job per iteration materializes
-            # the frontier, cuts lineage and probes emptiness together
-            new = _dedup(new, keys).localCheckpoint(eager=False)
-            if new.count() == 0:
+            if iterations > MAX_CLOSURE_ITERATIONS:
+                raise RuntimeError(
+                    "property-path closure exceeded iteration cap")
+            left = r.select("__u", term_key_col(F.col("node")).alias("__vk"))
+            right = r.select(F.col("__u").alias("__vk"), "node", "tord")
+            comp = left.join(right, "__vk").select("__u", "node", "tord")
+            nxt = _dedup(r.unionAll(comp), ["__u"]) \
+                .localCheckpoint(eager=False)
+            n = nxt.count()
+            r = nxt
+            if n == total:
                 break
-            result = _dedup(result.unionAll(new), keys) if result is not None else new
-            if iterations % 4 == 0:
-                # lazy: the next iteration's anti-join job materializes it
-                result = result.localCheckpoint(eager=False)
-            if once:
-                break
-            frontier = new
-            if iterations >= MAX_CLOSURE_ITERATIONS:
-                raise RuntimeError("property-path closure exceeded iteration cap")
-        if result is None:
-            # oneOrMore with no reachable terms
-            return df.select(*keys, "node", "tord").limit(0)
-        return _dedup(result, keys)
+            total = n
+
+        # re-attach per-site keys; self pairs keep the site row's tord
+        back = df.select(*keys, term_key_col(F.col("node")).alias("__u"))
+        reached = back.join(r, "__u").select(*keys, "node", "tord")
+        if include_self:
+            reached = df.select(*keys, "node", "tord").unionAll(reached)
+        return _dedup(reached, keys)
 
     raise TypeError(f"unknown path {path!r}")

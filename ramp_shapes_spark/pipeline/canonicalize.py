@@ -60,7 +60,8 @@ def _min_nbr(nbrs: DataFrame) -> DataFrame:
 
 
 def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
-                hot_nodes: DataFrame | None) -> DataFrame:
+                hot_nodes: DataFrame | None,
+                dedup: bool = True) -> DataFrame:
     """One star round: connect (a subset of) neighbors to the group
     minimum.  Hot nodes' minima resolve via a broadcast map-join (no
     shuffle on the hot keys); the residual join shuffles on ``n`` with
@@ -87,21 +88,60 @@ def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
         out = out.unionAll(
             minn.select(F.col("n").alias("src"), F.col("m").alias("dst"))
         )
-    return out.filter(F.col("src") != F.col("dst")).distinct()
+    out = out.filter(F.col("src") != F.col("dst"))
+    return out.distinct() if dedup else out
+
+
+def _driver_cc(edges: DataFrame) -> DataFrame:
+    """Union-find on the driver for graphs that fit trivially in driver
+    memory — ~10 driver-loop rounds of cluster jobs on a 1k-edge graph
+    is pure scheduling overhead.  Distributed consumers see the same
+    (node, component) contract."""
+    parent: dict = {}
+
+    def find(a: str) -> str:
+        r = a
+        while parent[r] != r:
+            r = parent[r]
+        while parent[a] != r:
+            parent[a], a = r, parent[a]
+        return r
+
+    for row in edges.select("src", "dst").collect():
+        a, b = row["src"], row["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by lexicographic minimum keeps the invariant that
+            # the final representative is the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, "node string, component string")
 
 
 def connected_components(edges: DataFrame, hot_k: int = 64,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         driver_threshold: int = 100_000) -> DataFrame:
     """(node, component) for every node in ``edges`` (src/dst string
     columns); component = lexicographic minimum of the component.
 
     Pass a dict as ``stats`` to receive ``{"rounds": n}`` (each round =
-    one large-star + one small-star pass)."""
+    one large-star + one small-star pass).  Graphs at or below
+    ``driver_threshold`` edges short-circuit to driver-side union-find
+    (the star rounds are pure scheduling overhead there); pass 0 to
+    force the distributed path."""
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
         .distinct().localCheckpoint(eager=False)
+    n_edges = cur.count()  # materializes the deduped checkpoint
+    if driver_threshold > 0 and n_edges <= driver_threshold:
+        if stats is not None:
+            stats["rounds"] = 0
+        return _driver_cc(cur)
 
-    # hot set: top-K degrees of the INPUT graph, computed once — the
-    # first action also materializes the deduped edge checkpoint
+    # hot set: top-K degrees of the INPUT graph, computed once
     hot_nodes = None
     if hot_k > 0:
         hot_rows = (
@@ -112,26 +152,25 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
             hot_nodes = edges.sparkSession.createDataFrame(
                 [(r["n"],) for r in hot_rows], "n string")
 
-    # rounds must not let partition counts drift: the star unions double
-    # the partition count each use and broadcast-join plans skip AQE
-    # coalescing, so an unbounded loop snowballs into hundreds of
-    # micro-tasks per stage — re-bucket every round to a fixed width
-    # (NOT edges.rdd.getNumPartitions(): .rdd on an AQE plan executes it)
-    n_parts = max(2, edges.sparkSession.sparkContext.defaultParallelism)
-
     prev_sig = None
     rounds = 0
     for _ in range(MAX_ROUNDS):
         rounds += 1
         nbrs = _nbrs(cur)
         minn = _min_nbr(nbrs)
-        cur = _apply_star(nbrs, minn, large=True, hot_nodes=hot_nodes)
-        nbrs = _nbrs(cur)
+        # materialize the large-star half: small-star reads it TWICE
+        # (neighbor build + min aggregation) — without the checkpoint
+        # the whole large-star join tree is recomputed for both reads.
+        # Skip its dedup: every small-star consumer is duplicate-
+        # tolerant and the small-star round ends in a distinct anyway.
+        large = _apply_star(nbrs, minn, large=True, hot_nodes=hot_nodes,
+                            dedup=False).localCheckpoint(eager=False)
+        nbrs = _nbrs(large)
         minn = _min_nbr(nbrs)
-        # lazy checkpoint: the signature aggregate below materializes it,
-        # so each round costs exactly one job
+        # lazy checkpoint: the signature aggregate below materializes
+        # it; the distinct's shuffle re-buckets to a fixed width, so
+        # partition counts cannot drift across rounds
         cur = _apply_star(nbrs, minn, large=False, hot_nodes=hot_nodes) \
-            .repartition(n_parts, "src") \
             .localCheckpoint(eager=False)
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
