@@ -23,10 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ramp_shapes_spark.ops import relational as R  # noqa: E402
 from ramp_shapes_spark.ops.dedup import (  # noqa: E402
     exact_dedup_groups, minhash_banded_pairs, minhash_dup_pairs,
-    minhash_signature, ngram_jaccard_pairs, simhash16,
+    minhash_signature, ngram_jaccard_pairs, simhash16, simhash64,
 )
 from ramp_shapes_spark.ops.similarity import (  # noqa: E402
-    brute_force_topk, cosine_dup_pairs, ivf_topk,
+    brute_force_topk, cosine_dup_pairs, ivf_kmeans_topk, ivf_topk,
 )
 from ramp_shapes_spark.ops.textstats import (  # noqa: E402
     doc_fingerprint, lang_guess, quality_score, token_stats,
@@ -106,6 +106,14 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir))
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    return ivf_kmeans_topk(_emb(spark, sf_dir))
+
+
+def q_simhash64(spark, sf_dir):
+    return simhash64(_docs(spark, sf_dir))
+
+
 def q_cosine_dups(spark, sf_dir):
     return cosine_dup_pairs(_emb(spark, sf_dir), threshold_x10k=3000)
 
@@ -147,16 +155,22 @@ def q_cc_customer_chains(spark, sf_dir):
     return connected_components(edges, hot_k=0)
 
 
+_KG_SMOKE_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "data", "kg_smoke_transcripts.parquet")
+
+
 def q_kg_turn_records(spark, sf_dir):
-    """Full KG frame stage on synthetic transcripts (rows-only: the
-    shape-engine pipeline is not SQL-expressible)."""
-    from ramp_shapes_spark.pipeline.datagen import generate_transcripts
+    """Full KG frame stage over the committed deterministic transcript
+    corpus (data/kg_smoke_transcripts.parquet — byte-identical to
+    ``generate_transcripts(spark, 40, n_entities=64)``), so the DuckDB
+    oracle can recompute idx/role/n_mentions from the same parquet."""
     from ramp_shapes_spark.pipeline.kgshapes import build_kg_catalog
     from ramp_shapes_spark.pipeline.mentions import detect_mentions, score_links
     from ramp_shapes_spark.pipeline.run import extraction_triples
     from ramp_shapes_spark.frame import FrameEngine
 
-    turns = generate_transcripts(spark, 40, n_entities=64, partitions=4)
+    turns = spark.read.parquet(_KG_SMOKE_PARQUET)
     scored = score_links(detect_mentions(turns))
     ext = extraction_triples(turns, scored).localCheckpoint(eager=True)
     catalog, turn_shape = build_kg_catalog()
@@ -198,6 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "ann_brute_topk": q_ann_brute,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
+        "simhash64": q_simhash64,
         "cosine_dup_pairs": q_cosine_dups,
         "events_sessions": q_events_sessions,
         # iterative / pipeline (cc has an oracle via chain structure)
@@ -279,6 +295,107 @@ def _ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
     """
 
 
+def _simhash64_sql() -> str:
+    def half(salt: str) -> str:
+        bits = []
+        for i in range(32):
+            vote = (
+                f"sum(CASE WHEN ascii(substr(md5(tok || '{salt}'), "
+                f"{i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END)"
+            )
+            bits.append(f"CASE WHEN {vote} > 0 THEN CAST({1 << i} AS BIGINT) "
+                        f"ELSE 0 END")
+        return " + ".join(bits)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        )
+        SELECT doc_id,
+               CAST({half('#h')} AS BIGINT) AS simhash_hi,
+               CAST({half('')} AS BIGINT) AS simhash_lo
+        FROM toks GROUP BY doc_id
+    """
+
+
+def _ivf_kmeans_sql(n_clusters: int = 8, nprobe: int = 2, k: int = 3,
+                    n_queries: int = 10) -> str:
+    """Unrolled 2-iteration exact-integer Lloyd k-means + multi-probe
+    top-k — the bit-exact twin of ops.similarity.ivf_kmeans_topk."""
+    sqdist = ("list_sum(list_transform(list_zip({a}, {b}), "
+              "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+    dot = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+    sq = "list_sum(list_transform({a}, x -> x * x))"
+
+    def assign(cents: str, out: str) -> str:
+        d = sqdist.format(a="e.v", b="c.cv")
+        return f"""
+        {out} AS (
+          SELECT nid, cid FROM (
+            SELECT e.nid, c.cid,
+                   row_number() OVER (PARTITION BY e.nid
+                     ORDER BY {d}, c.cid) AS rn
+            FROM e CROSS JOIN {cents} c) WHERE rn = 1
+        )"""
+
+    def update(assign_t: str, out: str) -> str:
+        return f"""
+        {out} AS (
+          SELECT cid, list(cval ORDER BY dim) AS cv FROM (
+            SELECT {assign_t}.cid, ev.dim,
+                   CAST(floor(sum(ev.val) * 1.0 / count(*)) AS BIGINT)
+                     AS cval
+            FROM {assign_t} JOIN ev USING (nid)
+            GROUP BY {assign_t}.cid, ev.dim)
+          GROUP BY cid
+        )"""
+
+    pd_ = sqdist.format(a="e.v", b="c.cv")
+    qdot = dot.format(a="q.v", b="b.v")
+    qsq, bsq = sq.format(a="q.v"), sq.format(a="b.v")
+    return f"""
+        WITH e AS (
+          SELECT vec_id AS nid,
+                 list_transform(embedding,
+                   x -> CAST(round(x * 10000) AS BIGINT)) AS v
+          FROM embeddings
+        ),
+        ev AS (
+          SELECT nid, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+          FROM e
+        ),
+        c0 AS (SELECT nid AS cid, v AS cv FROM e WHERE nid < {n_clusters}),
+        {assign('c0', 'a0')},
+        {update('a0', 'c1')},
+        {assign('c1', 'a1')},
+        {update('a1', 'c2')},
+        {assign('c2', 'af')},
+        probes AS (
+          SELECT qid, cid FROM (
+            SELECT e.nid AS qid, c.cid,
+                   row_number() OVER (PARTITION BY e.nid
+                     ORDER BY {pd_}, c.cid) AS prn
+            FROM e CROSS JOIN c2 c WHERE e.nid < {n_queries})
+          WHERE prn <= {nprobe}
+        ),
+        sims AS (
+          SELECT p.qid AS query_id, b.nid AS neighbor_id,
+                 CAST(floor(({qdot}) / (sqrt({qsq}) * sqrt({bsq}))
+                      * 10000 + 0.5) AS BIGINT) AS cosine_x10k
+          FROM probes p
+          JOIN af ON af.cid = p.cid
+          JOIN e b ON b.nid = af.nid
+          JOIN e q ON q.nid = p.qid
+          WHERE b.nid <> p.qid
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_x10k DESC, neighbor_id) AS INTEGER)
+                 AS rank,
+               cosine_x10k
+        FROM sims QUALIFY rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "frame_supplier_record": R.oracle_frame_supplier_record(),
@@ -311,6 +428,18 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
         """,
         "simhash": _simhash_sql(),
+        "simhash64": _simhash64_sql(),
+        "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
+        "kg_turn_records": f"""
+            SELECT 'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR)
+                     AS subject,
+                   CAST(turn_idx AS BIGINT) AS idx,
+                   role,
+                   CAST(len(regexp_extract_all(text,
+                     '(the )?acme-?(\\d{{5}})( inc| corp)?'))
+                     AS BIGINT) AS n_mentions
+            FROM read_parquet('{_KG_SMOKE_PARQUET}')
+        """,
         "token_stats": f"""
             SELECT doc_id,
                    CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
@@ -461,5 +590,4 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(b.embedding, x -> CAST(x AS DOUBLE))
                      ) * 10000 + 0.5) AS BIGINT) >= 3000
         """,
-        # kg_turn_records: intentionally omitted (rows-only check)
     }

@@ -56,8 +56,13 @@ def main() -> None:
     from ramp_shapes_spark.pipeline.run import run_pipeline
 
     queries = {}
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
     # -- flagship: pipeline throughput ---------------------------------
+    # min-of-N: each measurement is a fresh pipeline over the same
+    # checkpointed input; min discards one-off session/JIT/cache warmup
+    # noise (r2 showed 2.5-3.5x swings on sub-second queries measured
+    # once in a shared session)
     t0 = time.time()
     turns = generate_transcripts(
         spark, N_CONV, n_entities=2000, partitions=int(CPUS)
@@ -65,26 +70,37 @@ def main() -> None:
     n_turns = turns.count()
     gen_t = time.time() - t0
 
-    t0 = time.time()
-    result = run_pipeline(spark, turns)
-    n_triples = result.triples.count()
-    pipe_t = time.time() - t0
+    pipe_times = []
+    for _ in range(n_reps):
+        t0 = time.time()
+        result = run_pipeline(spark, turns)
+        n_triples = result.triples.count()
+        pipe_times.append(time.time() - t0)
+    pipe_t = min(pipe_times)
     queries["kg_pipeline"] = round(pipe_t, 3)
 
-    # -- operator headliners --------------------------------------------
+    # -- operator surface (min-of-N wall time per query) ---------------
     allq = entrymod.queries()
     for name in [
         "frame_supplier_record", "frame_nation_suppliers_set",
-        "path_closure_chain", "path_one_or_more", "frame_map_nations",
-        "flatten_relational_counts",
+        "frame_order_optional_union", "frame_map_nations",
+        "vocabulary_region",
+        "path_sequence_region", "path_closure_chain", "path_one_or_more",
+        "path_zero_or_one", "path_alternative_places",
+        "flatten_roundtrip_counts", "flatten_relational_counts",
         "dedup_exact", "minhash_pairs", "minhash_banded_pairs",
-        "token_stats",
-        "ann_brute_topk", "ann_ivf_topk", "cc_customer_chains",
-        "events_sessions",
+        "simhash", "token_stats", "quality_score", "lang_guess",
+        "doc_fingerprint",
+        "ann_brute_topk", "ann_ivf_topk", "cosine_dup_pairs",
+        "cc_customer_chains", "events_sessions",
     ]:
-        t0 = time.time()
-        n = allq[name](spark, SF_DIR).count()
-        queries[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(n_reps):
+            t0 = time.time()
+            n = allq[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     # -- connected components on a Zipf-skewed 10^7-edge graph ----------
     # (hot-node broadcast + AQE skew handling; rounds reported)

@@ -38,6 +38,11 @@ from .terms import Term, from_row
 
 MAX_RESIDUAL_PAIRS = 100_000
 NEIGHBORHOOD_HOPS = 4
+# per-hop bound on the driver collect: a Zipf-hub node inside the
+# K-hop neighborhood would otherwise pull its entire adjacency to the
+# driver (count first, raise past the cap — same contract as
+# MAX_RESIDUAL_PAIRS: pathological data fails loudly, never OOMs)
+MAX_NEIGHBORHOOD_TRIPLES = 250_000
 
 
 def resolve_cycles(engine, cand: DataFrame, targets: List[Shape]) -> None:
@@ -89,9 +94,17 @@ def resolve_cycles(engine, cand: DataFrame, targets: List[Shape]) -> None:
         key_col_s = term_key(F.col("s"))
         key_col_o = term_key(F.col("o"))
         fl = list(frontier_keys)
-        hop = engine.triples.filter(
+        hop_df = engine.triples.filter(
             key_col_s.isin(fl) | key_col_o.isin(fl)
-        ).collect()
+        )
+        n_hop = hop_df.limit(MAX_NEIGHBORHOOD_TRIPLES + 1).count()
+        if n_hop > MAX_NEIGHBORHOOD_TRIPLES:
+            raise RuntimeError(
+                f"cyclic-residual neighborhood hop exceeds "
+                f"{MAX_NEIGHBORHOOD_TRIPLES} triples (a high-degree node "
+                f"is reachable from a residual cycle); shard resolution "
+                f"needed")
+        hop = hop_df.collect()
         new_keys = set()
         for row in hop:
             s = from_row(row["s"])

@@ -181,44 +181,118 @@ def record_rel(engine, sid: ShapeID) -> DataFrame:
     return rel
 
 
+def _scalar_base(engine, all_props,
+                 capture: Optional[Property] = None) -> Optional[DataFrame]:
+    """ONE groupBy with O(1)-state scalar aggregates instead of the
+    generic windowed pmap gather — available when every gather-kind
+    property is plain / optional / self.  Exactly-one and 0-or-1
+    semantics need only (#matching, #failing, first-match-by-tid) per
+    (subject, predicate), all partial-aggregatable map-side, so there
+    is no sort, no per-subject array/map buffering, and no degree cap
+    to manage: a Zipf-head subject costs the same three counters as
+    any other.  Returns (skey, focus, ord, __st{i}…) or None when a
+    bounded-set property needs the array gather."""
+    agg_exprs: List[str] = ["min(tid) AS sord"]
+    preds: List[str] = []
+    for i, (prop, plan) in enumerate(all_props):
+        if plan[0] != "gather":
+            continue
+        if is_self_path(prop.path):
+            continue
+        if plan[1] not in ("plain", "optional"):
+            return None  # bounded sets need the array gather
+        leaf = plan[3]
+        fail, _ = engine._s_node_checks(leaf, "o")
+        pc = f"p = {s_str(prop.path.predicate)}"
+        agg_exprs.append(
+            f"count(CASE WHEN {pc} AND NOT {fail} THEN 1 END) AS __nm{i}")
+        agg_exprs.append(
+            f"count(CASE WHEN {pc} AND ({fail}) THEN 1 END) AS __nf{i}")
+        agg_exprs.append(
+            f"min(CASE WHEN {pc} AND NOT {fail} "
+            f"THEN struct(tid, o) END) AS __m1{i}")
+        if prop.path.predicate not in preds:
+            preds.append(prop.path.predicate)
+    if not preds:
+        return None
+    t = engine.triples.where(F.col("p").isin(preds)).selectExpr(
+        f"{s_term_key('s')} AS skey", "p", "tid", "o")
+    base = t.groupBy("skey").agg(
+        F.expr(agg_exprs[0]), *[F.expr(e) for e in agg_exprs[1:]])
+
+    exprs = ["skey", f"{_FOCUS_SQL} AS focus", "sord AS ord"]
+    for i, (prop, plan) in enumerate(all_props):
+        if plan[0] != "gather":
+            continue
+        kind, wrapper, leaf = plan[1], plan[2], plan[3]
+        if is_self_path(prop.path):
+            fail_f, _ = engine._s_node_checks(leaf, "focus")
+            ok = f"(NOT {fail_f})"
+            val = (f"CASE WHEN NOT {fail_f} "
+                   f"THEN {engine._s_node_value(leaf, 'focus')} END")
+        else:
+            m1 = f"(__m1{i}).o"
+            val1 = engine._s_node_value(leaf, m1)
+            if kind == "plain":
+                ok = (f"(__nm{i} = 1)" if leaf.lenient else
+                      f"(__nf{i} = 0 AND __nm{i} = 1)")
+                val = f"CASE WHEN {ok} THEN {val1} END"
+            else:  # optional
+                fails_ok = wrapper.lenient or leaf.lenient
+                ok = (f"(__nm{i} <= 1)" if fails_ok else
+                      f"(__nf{i} = 0 AND __nm{i} <= 1)")
+                val = f"CASE WHEN {ok} AND __nm{i} = 1 THEN {val1} END"
+                if wrapper.empty_is_null:
+                    val = f"CASE WHEN {ok} THEN coalesce({val}, 'null') END"
+        exprs.append(
+            f"named_struct('ok', {ok}, 'value', CAST(({val}) AS STRING)) "
+            f"AS __st{i}")
+        if capture is not None and prop is capture:
+            exprs.append(f"(__m1{i}).o AS __capt")
+    return base.selectExpr(*exprs)
+
+
 def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
     """Build the match relation.  ``capture`` (a plain leaf property of
     this record) additionally exports ``__capt`` — the matched object
     TERM of that property — for map-key referencing.  Returns
     (relation, n_joins) where relation is (fkey, __fval[, __capt])."""
     shape: RecordShape = engine.catalog.get(sid)
-    base = engine.subject_props()  # (skey, __pmap)
 
     all_props: List[Tuple[Property, tuple]] = [
         (p, _classify(engine, p))
         for p in list(shape.type_properties) + list(shape.properties)
     ]
-    n_type = len(shape.type_properties)
+    join_specs = []  # (prop index, ok_sql, frag_sql or None)
+    stat_cols: Dict[int, str] = {
+        i: f"__st{i}" for i, (_, plan) in enumerate(all_props)
+        if plan[0] == "gather"
+    }
 
-    # --- fused leaf stats off the gather map (one selectExpr)
-    exprs = ["skey", f"{_FOCUS_SQL} AS focus", "CAST(0 AS BIGINT) AS ord"]
-    join_specs = []  # (colname, ok_sql, frag_sql or None, joined_df)
-    for i, (prop, plan) in enumerate(all_props):
-        if plan[0] == "gather":
-            if not is_self_path(prop.path):
+    rel = _scalar_base(engine, all_props, capture)
+    if rel is None:
+        # bounded-set properties: the array gather off the shared pmap
+        base = engine.subject_props()  # (skey, __pmap, sord)
+        exprs = ["skey", f"{_FOCUS_SQL} AS focus", "sord AS ord"]
+        for i, (prop, plan) in enumerate(all_props):
+            if plan[0] == "gather" and not is_self_path(prop.path):
                 exprs.append(
                     f"try_element_at(__pmap, "
                     f"{s_str(prop.path.predicate)}) AS __po{i}")
-    stat_cols: Dict[int, str] = {}
-    for i, (prop, plan) in enumerate(all_props):
-        if plan[0] == "gather":
-            engine._entry_col = f"__po{i}"
-            st = engine._s_fast_stat(prop, plan[1], plan[2], plan[3], "''")
-            exprs.append(f"({st}) AS __st{i}")
-            stat_cols[i] = f"__st{i}"
-            if capture is not None and prop is capture:
-                # first matched object term (exactly-one ⇒ unique)
-                fail_x, _ = engine._s_node_checks(plan[3], "x.o")
-                objs = f"coalesce((__po{i}).objs, array())"
-                exprs.append(
-                    f"(try_element_at(filter({objs}, "
-                    f"x -> NOT {fail_x}), 1)).o AS __capt")
-    rel = base.selectExpr(*exprs)
+        for i, (prop, plan) in enumerate(all_props):
+            if plan[0] == "gather":
+                engine._entry_col = f"__po{i}"
+                st = engine._s_fast_stat(prop, plan[1], plan[2], plan[3],
+                                         "''")
+                exprs.append(f"({st}) AS __st{i}")
+                if capture is not None and prop is capture:
+                    # first matched object term (exactly-one ⇒ unique)
+                    fail_x, _ = engine._s_node_checks(plan[3], "x.o")
+                    objs = f"coalesce((__po{i}).objs, array())"
+                    exprs.append(
+                        f"(try_element_at(filter({objs}, "
+                        f"x -> NOT {fail_x}), 1)).o AS __capt")
+        rel = base.selectExpr(*exprs)
 
     # --- per-predicate joins for record/set/map-valued properties
     for i, (prop, plan) in enumerate(all_props):
@@ -369,7 +443,8 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
                 ordered.append(spec)
     body = f"concat_ws(',', {', '.join(ordered)})" if ordered else "''"
     ok_all = " AND ".join(ok_parts) if ok_parts else "true"
-    out_cols = ["skey AS fkey", f"concat('{{', {body}, '}}') AS __fval"]
+    out_cols = ["skey AS fkey", f"concat('{{', {body}, '}}') AS __fval",
+                "focus AS __ffocus", "ord AS __ford"]
     if capture is not None:
         out_cols.append("__capt")
     return rel.where(ok_all).selectExpr(*out_cols), len(join_specs)

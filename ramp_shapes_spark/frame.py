@@ -231,6 +231,23 @@ class FrameEngine:
                     "lang:string>, ord long",
                 )
         else:
+            if not self._track and not strict:
+                # fast-tree root: the match relation already carries
+                # focus and a dataset-order surrogate (first-seen
+                # subject tid) — the full subjects∪objects universe
+                # scan would only rediscover candidates the relation
+                # anti-filters anyway
+                shape0 = self.catalog.get(root)
+                from . import fastframe
+                if fastframe.qualifies(self, shape0):
+                    rel = fastframe.record_rel(self, root)
+                    matches = rel.selectExpr(
+                        "__ffocus AS focus", "__ford AS ord",
+                        "__fval AS value")
+                    if ordered:
+                        matches = matches.orderBy("ord")
+                    return FrameResult(
+                        matches, lambda: self._empty(ERROR_FIELDS))
             uni = self.universe()
         cand = uni.selectExpr(
             "'r' AS gid",
@@ -522,11 +539,15 @@ class FrameEngine:
                 F.expr("array_sort(collect_list(struct(tid, o)))")
                 .alias("objs"),
                 F.expr("max(__ntot)").alias("ntot"),
+                F.expr("min(tid)").alias("__mtid"),
             )
             self._sp_gather = by_p.groupBy("skey").agg(
                 F.expr("map_from_entries(collect_list("
                        "struct(p, struct(objs, ntot))))")
-                .alias("__pmap")
+                .alias("__pmap"),
+                # first-seen tid of the subject — the dataset-order
+                # surrogate, so fast-tree roots need no universe scan
+                F.expr("min(__mtid)").alias("sord"),
             ).persist()
         return self._sp_gather
 

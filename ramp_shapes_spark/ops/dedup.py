@@ -138,6 +138,47 @@ def simhash16(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash emitted as two 32-bit halves.
+
+    Bits 0-31 (``simhash_lo``) vote on the low bits of the 32 hex
+    digits of ``md5(token)``; bits 32-63 (``simhash_hi``) on
+    ``md5(token || '#h')``.  Two signed 32-bit INTs instead of one
+    64-bit value keep every intermediate inside exact integer range
+    for any SQL engine (bit 63 of a signed BIGINT flips the sign).
+    Returns (doc_id, simhash_hi, simhash_lo).
+    """
+    toks = tokens_col(F.col(text_col))
+
+    def half(salt: str) -> Column:
+        word = F.lit(0)
+        for i in range(32):
+            votes = F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc + F.when(
+                    F.ascii(F.substring(F.md5(F.concat(t, F.lit(salt))),
+                                        i + 1, 1)) % 2 == 1, 1
+                ).otherwise(-1),
+            )
+            word = word + F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return word.cast("long")
+
+    return docs.select(
+        F.col(id_col),
+        half("#h").alias("simhash_hi"),
+        half("").alias("simhash_lo"),
+    )
+
+
+def hamming64(hi_a: Column, lo_a: Column, hi_b: Column,
+              lo_b: Column) -> Column:
+    """Hamming distance between two (hi, lo) simhash64 fingerprints."""
+    return F.bit_count(hi_a.bitwiseXOR(hi_b)) + \
+        F.bit_count(lo_a.bitwiseXOR(lo_b))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3,

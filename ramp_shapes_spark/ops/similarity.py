@@ -107,6 +107,114 @@ def ivf_topk(
     )
 
 
+def _int_vecs(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(nid, v): embeddings scaled to exact integers (×10⁴, rounded).
+
+    All k-means state (sums, means, squared distances, dot products)
+    stays in exact BIGINT/`double-of-exact-int` arithmetic, so cluster
+    assignment is bit-for-bit deterministic across engines and
+    partitionings — floating-point summation order can never flip an
+    argmin.  The 1e-4 quantization is far below any embedding noise
+    floor."""
+    return embeddings.select(
+        F.col(id_col).alias("nid"),
+        F.expr(f"transform({vec_col}, "
+               f"x -> CAST(round(x * 10000) AS BIGINT))").alias("v"),
+    )
+
+
+_SQDIST = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+           "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(nid, cid): nearest centroid per vector (ties → lowest cid)."""
+    d = _SQDIST.format(a="v", b="cv")
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .selectExpr("nid", f"struct(({d}) AS d, cid) AS dc")
+        .groupBy("nid").agg(F.expr("min(dc).cid").alias("cid"))
+    )
+
+
+def kmeans_assign(embeddings: DataFrame, n_clusters: int = 8,
+                  iters: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Exact-integer Lloyd k-means over the embedding column.
+
+    Init: the ``n_clusters`` lowest-id vectors (deterministic; a
+    production fit would sample k-means++ style — the *assignment and
+    probing machinery* is what IVF needs, and it is identical).
+    Centroid update: per-dimension ``floor(sum/count)`` over exact
+    integers — associativity-safe under any aggregation order.
+    Returns (assignment (nid, cid), centroids (cid, cv))."""
+    e = _int_vecs(embeddings, id_col, vec_col)
+    cents = e.filter(F.col("nid") < n_clusters).selectExpr(
+        "nid AS cid", "v AS cv")
+    for _ in range(iters):
+        assign = _assign(e, cents)
+        pe = assign.join(e, "nid").select(
+            "cid", F.posexplode("v").alias("dim", "val"))
+        nc = pe.groupBy("cid", "dim").agg(
+            F.expr("CAST(floor(sum(val) * 1.0 / count(1)) AS BIGINT)")
+            .alias("cval"))
+        cents = nc.groupBy("cid").agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, cval))),"
+                   " s -> s.cval)").alias("cv"))
+    return _assign(e, cents), cents
+
+
+def ivf_kmeans_topk(embeddings: DataFrame, k: int = 3, n_queries: int = 10,
+                    n_clusters: int = 8, nprobe: int = 2, iters: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Real IVF top-k: k-means centroid fit + assignment + multi-probe.
+
+    Queries probe their ``nprobe`` nearest centroids' inverted lists
+    only — the 100 TB shape: the centroid table broadcasts (KBs), the
+    vector table shuffles once on cluster id, and each query scans
+    ``nprobe/n_clusters`` of the corpus.  Same output schema as
+    :func:`brute_force_topk`; all arithmetic exact-integer-derived, so
+    a SQL oracle reproduces it bit-for-bit."""
+    e = _int_vecs(embeddings, id_col, vec_col)
+    assign, cents = kmeans_assign(embeddings, n_clusters, iters,
+                                  id_col, vec_col)
+    base = e.join(assign, "nid")
+
+    q = e.filter(F.col("nid") < n_queries).selectExpr(
+        "nid AS qid", "v AS qv")
+    d = _SQDIST.format(a="qv", b="cv")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .selectExpr("qid", "qv", "cid", f"({d}) AS pd")
+        .withColumn("prn", F.expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY pd, cid)"))
+        .where(F.col("prn") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    dot = _DOT.format(a="qv", b="nv")
+    na = _DOT.format(a="qv", b="qv")
+    nb = _DOT.format(a="nv", b="nv")
+    pairs = F.broadcast(probes).join(
+        base.selectExpr("nid", "v AS nv", "cid"), "cid"
+    ).where(F.col("qid") != F.col("nid"))
+    scored = pairs.selectExpr(
+        "qid", "nid",
+        f"CAST(floor(({dot}) / (sqrt({na}) * sqrt({nb})) * 10000 + 0.5) "
+        f"AS BIGINT) AS cosine_x10k",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_x10k"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"),
+                F.col("nid").alias("neighbor_id"),
+                "rank", "cosine_x10k")
+    )
+
+
 def cosine_dup_pairs(embeddings: DataFrame, threshold_x10k: int = 9500,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      bucket_col: str = "label") -> DataFrame:

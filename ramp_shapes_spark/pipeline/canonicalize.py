@@ -92,11 +92,10 @@ def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
     return out.distinct() if dedup else out
 
 
-def _driver_cc(edges: DataFrame) -> DataFrame:
-    """Union-find on the driver for graphs that fit trivially in driver
+def _union_find(edges: DataFrame) -> dict:
+    """node → component-minimum for graphs that fit trivially in driver
     memory — ~10 driver-loop rounds of cluster jobs on a 1k-edge graph
-    is pure scheduling overhead.  Distributed consumers see the same
-    (node, component) contract."""
+    is pure scheduling overhead."""
     parent: dict = {}
 
     def find(a: str) -> str:
@@ -117,9 +116,14 @@ def _driver_cc(edges: DataFrame) -> DataFrame:
             # the final representative is the component minimum
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(n, find(n)) for n in parent]
+    return {n: find(n) for n in parent}
+
+
+def _driver_cc(edges: DataFrame) -> DataFrame:
+    """Distributed contract over :func:`_union_find`."""
+    comp = _union_find(edges)
     return edges.sparkSession.createDataFrame(
-        rows, "node string, component string")
+        list(comp.items()), "node string, component string")
 
 
 def connected_components(edges: DataFrame, hot_k: int = 64,
@@ -195,10 +199,28 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
     )
 
 
-def canonical_entity_map(link_edges: DataFrame, hot_k: int = 64) -> DataFrame:
+def canonical_entity_map(link_edges: DataFrame, hot_k: int = 64,
+                         driver_threshold: int = 100_000) -> DataFrame:
     """(node, canonical) where canonical is the component's entity id
-    (prefer ``entity:`` nodes as representatives over mention nodes)."""
-    cc = connected_components(link_edges, hot_k=hot_k)
+    (prefer ``entity:`` nodes as representatives over mention nodes).
+
+    Small graphs resolve entirely on the driver (union-find plus rep
+    selection in one pass — the distributed rep groupBy/join is 3-4
+    cluster jobs of pure overhead at that size)."""
+    cur = link_edges.select("src", "dst") \
+        .filter(F.col("src") != F.col("dst")).distinct() \
+        .localCheckpoint(eager=False)
+    if driver_threshold > 0 and cur.count() <= driver_threshold:
+        comp = _union_find(cur)
+        by_comp: dict = {}
+        for n, c in comp.items():
+            key = (0 if n.startswith("entity:") else 1, n)
+            if c not in by_comp or key < by_comp[c]:
+                by_comp[c] = key
+        rows = [(n, by_comp[c][1]) for n, c in comp.items()]
+        return link_edges.sparkSession.createDataFrame(
+            rows, "node string, canonical string")
+    cc = connected_components(cur, hot_k=hot_k, driver_threshold=0)
     reps = (
         cc.withColumn(
             "__pref",

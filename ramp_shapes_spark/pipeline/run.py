@@ -115,9 +115,18 @@ def extraction_triples(turns: DataFrame, scored: DataFrame) -> DataFrame:
     )
 
 
-def canonicalize_triples(triples: DataFrame, node_map: DataFrame) -> DataFrame:
+def canonicalize_triples(triples: DataFrame, node_map: DataFrame,
+                         dedup: bool = False) -> DataFrame:
     """Rewrite entity object IRIs to their canonical representatives and
-    append ``kg:canonicalEntity`` alias edges."""
+    append ``kg:canonicalEntity`` alias edges.
+
+    ``dedup=False`` by default: this pipeline's flatten output cannot
+    contain duplicate (s,p,o) rows — turn and mention subjects are
+    unique by construction ((conv_id, turn_idx[, start]) keys), each
+    emits at most one triple per (predicate, object), and the rewrite
+    maps each object to exactly one canonical id — so the full-data
+    dedup shuffle would be provably redundant.  Pass ``True`` when
+    feeding triples whose construction is not injective."""
     cmap = node_map.select(
         F.col("node").alias("__n"), F.col("canonical").alias("__c")
     )
@@ -147,7 +156,8 @@ def canonicalize_triples(triples: DataFrame, node_map: DataFrame) -> DataFrame:
             _iri(F.col("canonical")).alias("o"),
         )
     )
-    return rewritten.unionAll(alias_edges).dropDuplicates(["s", "p", "o"])
+    out = rewritten.unionAll(alias_edges)
+    return out.dropDuplicates(["s", "p", "o"]) if dedup else out
 
 
 @dataclass
@@ -169,7 +179,14 @@ def run_pipeline(
     n_buckets: int = 16,
     input_fingerprint: str = "",
     hot_k: int = 64,
+    track_errors: bool = False,
 ) -> PipelineResult:
+    """``track_errors=False`` (default) frames match-only: qualifying
+    shapes compile through the fast-tree path (one memoized relation
+    per record shape) and ``PipelineResult.frame_errors`` is empty by
+    construction.  Pass ``True`` to route malformed turns into the
+    coded error channel (the mode the P/R tests validate) at the cost
+    of the general compiler's per-site machinery."""
     import threading
 
     scored = score_links(detect_mentions(turns))
@@ -178,12 +195,16 @@ def run_pipeline(
     # the canonicalization branch (connected components — an iterative
     # driver loop with one job per round) is independent of the
     # frame/flatten branch until the final rewrite join; run it on a
-    # side thread so its rounds execute WHILE the driver compiles the
-    # frame program (Spark schedules jobs from both threads)
+    # side thread so its rounds — and the extraction-graph
+    # materialization the frame stage will read — execute WHILE the
+    # driver compiles the frame program (Spark schedules jobs from both
+    # threads, so the compile's driver-only time hides behind cluster
+    # work instead of serializing in front of it)
     cc_out: Dict = {}
 
     def _cc() -> None:
         try:
+            ext.count()  # materialize the persisted extraction graph
             cc_out["node_map"] = canonical_entity_map(
                 link_edges(scored), hot_k=hot_k
             ).localCheckpoint(eager=True)
@@ -197,7 +218,8 @@ def run_pipeline(
     # diagnostics=False: error rows keep codes (routed/counted
     # downstream) but skip shape-stack string assembly — the stacks are
     # debug-only and dominate compiled-plan size
-    engine = FrameEngine(spark, catalog, ext, diagnostics=False)
+    engine = FrameEngine(spark, catalog, ext, diagnostics=False,
+                         track_errors=track_errors)
     framed = engine.frame(turn_shape)
 
     values = framed.matches.select(

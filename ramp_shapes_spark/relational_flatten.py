@@ -39,8 +39,9 @@ from pyspark.sql.types import (
 )
 
 from .shapes import (
-    InversePath, LiteralShape, OptionalShape, PredicatePath, RecordShape,
-    ResourceShape, SetShape, ShapeCatalog, ShapeID, is_self_path,
+    AnyOfShape, InversePath, LiteralShape, OptionalShape, PredicatePath,
+    RecordShape, ResourceShape, SetShape, ShapeCatalog, ShapeID,
+    is_self_path,
 )
 from .sqlutil import s_str
 from .terms import (
@@ -82,6 +83,12 @@ def shape_struct_type(catalog: ShapeCatalog, sid: ShapeID,
         return ArrayType(shape_struct_type(catalog, shape.item_shape, seen))
     if isinstance(shape, OptionalShape):
         return shape_struct_type(catalog, shape.item_shape, seen)
+    if isinstance(shape, AnyOfShape):
+        # heterogeneous union: parse as VARIANT — JSON value types are
+        # preserved, so the emitter can discriminate variants at
+        # runtime via schema_of_variant (string vs number vs array)
+        from pyspark.sql.types import VariantType
+        return VariantType()
     if isinstance(shape, ResourceShape):
         if shape.keep_as_term or shape.vocabulary is not None:
             raise UnsupportedShape("keepAsTerm/vocabulary resource")
@@ -221,6 +228,15 @@ class _Compiler:
         if isinstance(shape, SetShape):
             inner = self._static_count(self.catalog.get(shape.item_shape))
             return 0 if inner == 0 else None
+        if isinstance(shape, AnyOfShape):
+            # supported only when every variant generates zero blank
+            # nodes (leaves, sets of leaves, nested such unions) — then
+            # variant choice cannot shift any counter
+            for vid in shape.variants:
+                if self._static_count(self.catalog.get(vid)) != 0:
+                    raise UnsupportedShape(
+                        "anyOf variant generating blank nodes")
+            return 0
         if isinstance(shape, RecordShape):
             total = 0 if self._has_self_subject(shape) else 1
             for prop in shape.type_properties + shape.properties:
@@ -327,6 +343,12 @@ class _Compiler:
                 body = f"array({_edge(subj, prop.path, _leaf_term(item, x))})"
                 arr = f"flatten(transform({pv}, {x} -> {body}))"
                 return f"coalesce({arr}, {EMPTY_TRIPLES})"
+            if isinstance(item, AnyOfShape):
+                self._static_count(item)  # raises unless zero-bnode
+                x = self._var()
+                body = self._anyof_edges(item, x, subj, prop.path)
+                arr = f"flatten(transform({pv}, {x} -> {body}))"
+                return f"coalesce({arr}, {EMPTY_TRIPLES})"
             if isinstance(item, RecordShape):
                 per = self._static_count(item)
                 if per is None:
@@ -345,6 +367,13 @@ class _Compiler:
                        f"concat({edge}, {body})))")
                 return f"coalesce({arr}, {EMPTY_TRIPLES})"
             raise UnsupportedShape(f"set item shape {item.type}")
+        if isinstance(vshape, AnyOfShape):
+            self._static_count(vshape)  # raises unless zero-bnode
+            body = self._anyof_edges(vshape, pv, subj, prop.path)
+            if optional:
+                return (f"CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
+                        f"ELSE {body} END")
+            return body
         if isinstance(vshape, RecordShape):
             own = self._count_expr(vshape, pv)
             subj_ctr = f"({offset} + {own})"  # children first, own last
@@ -357,6 +386,110 @@ class _Compiler:
                         f"ELSE {full} END")
             return full
         raise UnsupportedShape(f"property value shape {vshape.type}")
+
+
+    # -- anyOf over a VARIANT-typed value (flatten.ts:363-384) ----------
+    _INT_SCHEMAS = "('TINYINT','SMALLINT','INT','BIGINT')"
+
+    def _variant_cases(self, shape: AnyOfShape, pv: str, subj: str,
+                       path) -> List[tuple]:
+        """(match_predicate, array<triple> expr) per variant, declared
+        order — the first true predicate wins, replicating
+        flattenAnyOf's first-match semantics.  Discrimination is by the
+        VARIANT value's runtime JSON type (schema_of_variant), which is
+        exactly the information the interpreter's per-variant
+        ``flattenShape`` probe uses (string vs number vs boolean vs
+        array)."""
+        sov = f"schema_of_variant({pv})"
+        out: List[tuple] = []
+        for vid in shape.variants:
+            v = self.catalog.get(vid)
+            if isinstance(v, AnyOfShape):
+                out.extend(self._variant_cases(v, pv, subj, path))
+                continue
+            if isinstance(v, LiteralShape):
+                if v.keep_as_term:
+                    raise UnsupportedShape("keepAsTerm literal variant")
+                dt = v.effective_datatype()
+                if dt == XSD_BOOLEAN:
+                    pred = f"({sov} = 'BOOLEAN')"
+                    val = f"try_variant_get({pv}, '$', 'boolean')"
+                elif dt in INTEGER_TYPES:
+                    pred = f"({sov} IN {self._INT_SCHEMAS})"
+                    val = f"try_variant_get({pv}, '$', 'bigint')"
+                elif dt in FRACTIONAL_TYPES:
+                    pred = (f"({sov} LIKE 'DECIMAL%' "
+                            f"OR {sov} IN ('DOUBLE','FLOAT'))")
+                    val = f"try_variant_get({pv}, '$', 'double')"
+                elif dt == XSD_STRING or (dt == RDF_LANG_STRING
+                                          and v.language):
+                    pred = f"({sov} = 'STRING')"
+                    val = f"CAST({pv} AS STRING)"
+                else:
+                    raise UnsupportedShape(f"literal datatype {dt}")
+                if v.value is not None:
+                    pred = (f"({pred} AND {val} = "
+                            f"{_const_value_sql(v.value)})")
+                out.append((pred, f"array({_edge(subj, path, _leaf_term(v, val))})"))
+            elif isinstance(v, ResourceShape):
+                if v.keep_as_term or v.vocabulary is not None:
+                    raise UnsupportedShape("keepAsTerm/vocabulary variant")
+                val = f"CAST({pv} AS STRING)"
+                pred = f"({sov} = 'STRING')"
+                if v.only_named:
+                    pred = f"({pred} AND NOT startswith({val}, '_:'))"
+                if v.value is not None:
+                    pred = (f"({pred} AND {val} = "
+                            f"{_const_value_sql(v.value)})")
+                out.append((pred, f"array({_edge(subj, path, _iri_or_bnode(val))})"))
+            elif isinstance(v, SetShape):
+                item = self.catalog.get(v.item_shape)
+                if not isinstance(item, (ResourceShape, LiteralShape)) or \
+                        item.keep_as_term or (
+                            isinstance(item, ResourceShape)
+                            and item.vocabulary is not None):
+                    raise UnsupportedShape("anyOf set-variant item")
+                ddl = _leaf_ddl(item)
+                arr = f"try_variant_get({pv}, '$', 'array<{ddl}>')"
+                x = self._var()
+                body = f"array({_edge(subj, path, _leaf_term(item, x))})"
+                out.append((
+                    f"({sov} LIKE 'ARRAY%')",
+                    f"coalesce(flatten(transform({arr}, {x} -> {body})), "
+                    f"{EMPTY_TRIPLES})",
+                ))
+            else:
+                raise UnsupportedShape(f"anyOf variant shape {v.type}")
+        return out
+
+    def _anyof_edges(self, shape: AnyOfShape, pv: str, subj: str,
+                     path) -> str:
+        cases = self._variant_cases(shape, pv, subj, path)
+        whens = " ".join(f"WHEN {p} THEN {e}" for p, e in cases)
+        return f"(CASE {whens} ELSE {EMPTY_TRIPLES} END)"
+
+
+def _leaf_ddl(shape) -> str:
+    if isinstance(shape, ResourceShape):
+        return "string"
+    dt = shape.effective_datatype()
+    if dt == XSD_BOOLEAN:
+        return "boolean"
+    if dt in INTEGER_TYPES:
+        return "bigint"
+    if dt in FRACTIONAL_TYPES:
+        return "double"
+    return "string"
+
+
+def _const_value_sql(t: Term) -> str:
+    if t.dt == XSD_BOOLEAN:
+        return "true" if t.value != "false" else "false"
+    if t.dt in INTEGER_TYPES:
+        return str(int(t.value))
+    if t.dt in FRACTIONAL_TYPES:
+        return str(float(t.value))
+    return s_str(t.value)
 
 
 def _q(name: str) -> str:

@@ -195,3 +195,105 @@ def test_map_shape_basic(spark):
                              "beta": {"k": "beta", "v": "2"}}
         for v in rows
     ), rows
+
+
+def test_simhash64_hamming_neighbors(spark, docs):
+    """Identical copies collide exactly; lightly perturbed copies sit
+    closer (in Hamming distance) than unrelated corpus documents.  The
+    synthetic corpus is template-generated, so unrelated documents are
+    themselves fairly similar — the assertion is on the *separation* of
+    the means, not on absolute distances."""
+    from ramp_shapes_spark.ops.dedup import hamming64, simhash64, tokens_col
+    base = docs.limit(12).select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    perturbed = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                tokens_col(F.col("text")),
+                lambda t, i: F.when(i % 20 == 19, F.lit("zz")).otherwise(t),
+            ),
+        ).alias("text"),
+    )
+    sig = simhash64(base.unionAll(perturbed).unionAll(exact)).persist()
+    a = sig.selectExpr("doc_id AS ida", "simhash_hi AS ha",
+                       "simhash_lo AS la")
+    b = sig.selectExpr("doc_id AS idb", "simhash_hi AS hb",
+                       "simhash_lo AS lb")
+
+    def dists(cond):
+        return [r["d"] for r in a.join(b, cond).select(
+            hamming64(F.col("ha"), F.col("la"),
+                      F.col("hb"), F.col("lb")).alias("d")).collect()]
+
+    exact_d = dists(F.col("idb") == F.col("ida") + 200000)
+    near_d = dists(F.col("idb") == F.col("ida") + 100000)
+    rand_d = dists((F.col("idb") > F.col("ida"))
+                   & (F.col("idb") < 100000) & (F.col("ida") < 100000))
+    assert max(exact_d) == 0, f"identical docs differ: {exact_d}"
+    near_avg = sum(near_d) / len(near_d)
+    rand_avg = sum(rand_d) / len(rand_d)
+    assert near_avg < rand_avg * 0.75, (
+        f"no separation: near {near_avg:.1f} vs random {rand_avg:.1f}")
+
+
+def test_ivf_kmeans_recall_vs_brute(spark, emb):
+    """Real-IVF (k-means fit + assignment + nprobe=2 probing) must
+    recover ≥0.9 of the brute-force top-3 neighbor sets."""
+    from ramp_shapes_spark.ops.similarity import (
+        brute_force_topk, ivf_kmeans_topk,
+    )
+    exact = brute_force_topk(emb, k=3, n_queries=10).collect()
+    approx = ivf_kmeans_topk(emb, k=3, n_queries=10, n_clusters=8,
+                             nprobe=2).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.9, f"IVF recall {hits}/{total}"
+
+
+def test_cycles_neighborhood_hop_guard(spark):
+    """A Zipf-hub node reachable from a residual cycle must raise the
+    bounded-collect guard instead of pulling the hub's adjacency to
+    the driver."""
+    import pytest as _pytest
+    from ramp_shapes_spark import cycles as cyc
+    from ramp_shapes_spark.frame import FrameEngine
+    from ramp_shapes_spark.shapes import ShapeBuilder, prop, SELF_PATH
+    from ramp_shapes_spark.terms import RDF_TYPE, iri
+    from ramp_shapes_spark.dataset import triples_df
+
+    EX = "http://example.com/cyc#"
+    b = ShapeBuilder()
+    node_id = iri(EX + "Node")
+    b.record(
+        EX + "Node",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Node")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("next", EX + "next", node_id),
+        ],
+    )
+    trips = []
+    for n in ("a", "b"):
+        trips.append((iri(n), RDF_TYPE, iri(EX + "Node")))
+    trips.append((iri("a"), EX + "next", iri("b")))
+    trips.append((iri("b"), EX + "next", iri("a")))  # 2-cycle
+    for i in range(300):  # hub adjacent to the cycle
+        trips.append((iri("a"), EX + "blob", iri(f"h{i}")))
+    df = triples_df(spark, [(s, p, o) for s, p, o in trips])
+    engine = FrameEngine(spark, b.catalog, df)
+    old = cyc.MAX_NEIGHBORHOOD_TRIPLES
+    cyc.MAX_NEIGHBORHOOD_TRIPLES = 100
+    try:
+        with _pytest.raises(RuntimeError, match="neighborhood hop"):
+            engine.frame(node_id).matches.count()
+    finally:
+        cyc.MAX_NEIGHBORHOOD_TRIPLES = old

@@ -89,7 +89,7 @@ def test_connected_components_small(spark):
 
 
 def test_pipeline_pr_vs_oracle(spark, turns, tmp_path):
-    res = run_pipeline(spark, turns)
+    res = run_pipeline(spark, turns, track_errors=True)
     assert res.frame_errors.count() == 0
 
     # oracle: pure-python reference-semantics frame+flatten on the same

@@ -129,3 +129,68 @@ def test_unsupported_falls_back():
         from ramp_shapes_spark.relational_flatten import compile_flatten_exprs
         compile_flatten_exprs(b.catalog, rec)
     assert not supports_shape(b.catalog, rec)
+
+
+def _union_catalog():
+    """strict-union fixture family (test-data/shapes/strict-union.ttl):
+    heterogeneous leaf unions, set-vs-scalar cardinality unions and
+    nested unions — the anyOf fragment of the relational emitter."""
+    from ramp_shapes_spark.terms import XSD_BOOLEAN, lit
+
+    b = ShapeBuilder()
+    string_or_int = b.any_of([
+        b.literal(datatype=XSD_STRING), b.literal(datatype=XSD_INTEGER)])
+    set_or_single = b.any_of([
+        b.set_of(b.literal(datatype=XSD_INTEGER)),
+        b.literal(datatype=XSD_INTEGER)])
+    nested = b.any_of([
+        b.any_of([b.literal(datatype=XSD_INTEGER),
+                  b.literal(datatype=XSD_BOOLEAN)]),
+        b.literal(datatype=XSD_STRING)])
+    status = b.any_of([b.constant(lit("O")), b.constant(lit("F"))])
+    items = b.record(
+        EX + "Items",
+        type_properties=[prop("type", RDF_TYPE,
+                              b.constant(iri(EX + "Items")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("atomic", EX + "atomic", b.set_of(string_or_int)),
+            prop("differentCardinality", EX + "dc", b.set_of(set_or_single)),
+            prop("nestedUnion", EX + "nested", b.set_of(nested)),
+            prop("status", EX + "status", status),
+        ],
+    )
+    return b.catalog, items
+
+
+UNION_VALUES = [
+    {"id": "it:1", "atomic": ["s2", 1, "s5", 3],
+     "differentCardinality": [[1, 2], 7, []],
+     "nestedUnion": [4, True, "x"], "status": "O"},
+    {"id": "it:2", "atomic": [], "differentCardinality": [5],
+     "nestedUnion": [False], "status": "F"},
+]
+
+
+def test_anyof_union_matches_interpreter(spark):
+    catalog, items = _union_catalog()
+    assert supports_shape(catalog, items)
+    got = _spark_triples(spark, catalog, items, UNION_VALUES)
+    for i, v in enumerate(UNION_VALUES):
+        want = flatten_py(catalog, items, v)
+        assert triple_sets_isomorphic(got.get(str(i), []), want), (
+            f"value {i}: got {sorted((s.key(), p, o.key()) for s, p, o in got.get(str(i), []))} "
+            f"want {sorted((s.key(), p, o.key()) for s, p, o in want)}")
+
+
+def test_anyof_union_plan_has_no_python(spark):
+    """The union-bearing shape must flatten entirely JVM-side."""
+    catalog, items = _union_catalog()
+    df = spark.createDataFrame(
+        [("0", json.dumps(UNION_VALUES[0]))], "seed string, value string")
+    out = flatten_relational(df, catalog, items, seed_col="seed")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
