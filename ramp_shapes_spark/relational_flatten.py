@@ -39,9 +39,9 @@ from pyspark.sql.types import (
 )
 
 from .shapes import (
-    AnyOfShape, InversePath, LiteralShape, OptionalShape, PredicatePath,
-    RecordShape, ResourceShape, SetShape, ShapeCatalog, ShapeID,
-    is_self_path,
+    AnyOfShape, InversePath, LiteralShape, MapShape, OptionalShape,
+    PredicatePath, RecordShape, ResourceShape, SetShape, ShapeCatalog,
+    ShapeID, is_self_path,
 )
 from .sqlutil import s_str
 from .terms import (
@@ -81,6 +81,12 @@ def shape_struct_type(catalog: ShapeCatalog, sid: ShapeID,
         return StructType(fields)
     if isinstance(shape, SetShape):
         return ArrayType(shape_struct_type(catalog, shape.item_shape, seen))
+    if isinstance(shape, MapShape):
+        if shape.value is not None:
+            raise UnsupportedShape("map value reference")
+        from pyspark.sql.types import MapType
+        return MapType(StringType(),
+                       shape_struct_type(catalog, shape.item_shape, seen))
     if isinstance(shape, OptionalShape):
         return shape_struct_type(catalog, shape.item_shape, seen)
     if isinstance(shape, AnyOfShape):
@@ -225,7 +231,7 @@ class _Compiler:
         if isinstance(shape, OptionalShape):
             inner = self._static_count(self.catalog.get(shape.item_shape))
             return 0 if inner == 0 else None
-        if isinstance(shape, SetShape):
+        if isinstance(shape, (SetShape, MapShape)):
             inner = self._static_count(self.catalog.get(shape.item_shape))
             return 0 if inner == 0 else None
         if isinstance(shape, AnyOfShape):
@@ -257,12 +263,12 @@ class _Compiler:
         if isinstance(shape, OptionalShape):
             inner = self._count_expr(self.catalog.get(shape.item_shape), value)
             return f"(CASE WHEN ({value}) IS NULL THEN 0 ELSE {inner} END)"
-        if isinstance(shape, SetShape):
+        if isinstance(shape, (SetShape, MapShape)):
             item = self.catalog.get(shape.item_shape)
             per = self._static_count(item)
             if per is None:
                 raise UnsupportedShape(
-                    "set items with data-dependent blank-node counts")
+                    "set/map items with data-dependent blank-node counts")
             return f"(coalesce(size({value}), 0) * {per})"
         if isinstance(shape, RecordShape):
             parts = ["0" if self._has_self_subject(shape) else "1"]
@@ -367,6 +373,38 @@ class _Compiler:
                        f"concat({edge}, {body})))")
                 return f"coalesce({arr}, {EMPTY_TRIPLES})"
             raise UnsupportedShape(f"set item shape {item.type}")
+        if isinstance(vshape, MapShape):
+            # flattenMap (flatten.ts:514-565): flatten each entry's item
+            # value; entry order (JSON key order = frame's ord-sorted
+            # assembly) fixes the per-entry blank-node counters exactly
+            # like set elements
+            if vshape.value is not None:
+                raise UnsupportedShape("map value reference")
+            item = self.catalog.get(vshape.item_shape)
+            if isinstance(item, (ResourceShape, LiteralShape)):
+                if item.keep_as_term or (isinstance(item, ResourceShape)
+                                         and item.vocabulary is not None):
+                    raise UnsupportedShape("keepAsTerm/vocabulary leaf")
+                x = self._var()
+                body = (f"array({_edge(subj, prop.path, _leaf_term(item, f'{x}.value'))})")
+                arr = f"flatten(transform(map_entries({pv}), {x} -> {body}))"
+                return f"coalesce({arr}, {EMPTY_TRIPLES})"
+            if isinstance(item, RecordShape):
+                per = self._static_count(item)
+                if per is None:
+                    raise UnsupportedShape(
+                        "map items with data-dependent blank-node counts")
+                x = self._var()
+                elem_off = f"({offset} + {x}_i * {per})"
+                subj_ctr = f"({elem_off} + {per})"
+                child_subj = self.record_subject(item, f"{x}.value", subj_ctr)
+                edge = f"array({_edge(subj, prop.path, child_subj)})"
+                body = self.record_triples(item, f"{x}.value", child_subj,
+                                           elem_off)
+                arr = (f"flatten(transform(map_entries({pv}), "
+                       f"({x}, {x}_i) -> concat({edge}, {body})))")
+                return f"coalesce({arr}, {EMPTY_TRIPLES})"
+            raise UnsupportedShape(f"map item shape {item.type}")
         if isinstance(vshape, AnyOfShape):
             self._static_count(vshape)  # raises unless zero-bnode
             body = self._anyof_edges(vshape, pv, subj, prop.path)

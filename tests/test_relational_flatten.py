@@ -194,3 +194,64 @@ def test_anyof_union_plan_has_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def _map_catalog():
+    """Map-shape flatten: record items keyed by a referenced part
+    (frame.ts:642-696 on the frame side; flatten.ts:514-565 here)."""
+    from ramp_shapes_spark.shapes import ShapeReference
+
+    b = ShapeBuilder()
+    name_key = b.literal(datatype=XSD_STRING)
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("type", RDF_TYPE,
+                              b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[prop("name", EX + "name", name_key)],
+    )
+    region = b.record(
+        EX + "Region",
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("nations", EX + "hasNation",
+                 b.map_of(ShapeReference(target=name_key, part="value"),
+                          nation)),
+            prop("codes", EX + "code",
+                 b.map_of(ShapeReference(target=name_key, part="value"),
+                          b.literal(datatype=XSD_STRING))),
+        ],
+    )
+    return b.catalog, region
+
+
+MAP_VALUES = [
+    {"id": "reg:1", "name": "europe",
+     "nations": {"france": {"name": "france"},
+                 "spain": {"name": "spain"}},
+     "codes": {"a": "EU", "b": "EUR"}},
+    {"id": "reg:2", "name": "void", "nations": {}, "codes": {}},
+]
+
+
+def test_map_flatten_matches_interpreter(spark):
+    catalog, region = _map_catalog()
+    assert supports_shape(catalog, region)
+    got = _spark_triples(spark, catalog, region, MAP_VALUES)
+    for i, v in enumerate(MAP_VALUES):
+        want = flatten_py(catalog, region, v)
+        assert triple_sets_isomorphic(got.get(str(i), []), want), (
+            f"value {i}")
+
+
+def test_map_flatten_bnodes_byte_identical(spark):
+    from ramp_shapes_spark.pyflatten import deterministic_bnode_generator
+    catalog, region = _map_catalog()
+    got = _spark_triples(spark, catalog, region, MAP_VALUES)
+    for i, v in enumerate(MAP_VALUES):
+        want = flatten_py(catalog, region, v,
+                          deterministic_bnode_generator(str(i)))
+        gset = {(s.key(), p, o.key()) for s, p, o in got.get(str(i), [])}
+        wset = {(s.key(), p, o.key()) for s, p, o in want}
+        assert gset == wset, f"value {i}: {gset ^ wset}"
