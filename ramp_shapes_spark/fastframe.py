@@ -44,9 +44,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .shapes import (
-    InversePath, LiteralShape, MapShape, OptionalShape, PredicatePath,
-    Property, RecordShape, ResourceShape, SetShape, Shape, ShapeID,
-    is_self_path,
+    AnyOfShape, InversePath, LiteralShape, MapShape, OptionalShape,
+    PredicatePath, Property, RecordShape, ResourceShape, SetShape, Shape,
+    ShapeID, is_self_path,
 )
 from .sqlutil import s_json_quote as _s_json_quote, s_str, s_term_key
 
@@ -74,8 +74,32 @@ def _pred_of(path) -> Optional[Tuple[str, bool]]:
     return None
 
 
+def _anyof_leaves(engine, sid: ShapeID) -> Optional[List[Shape]]:
+    """Flattened leaf variants of an anyOf (nested unions inlined),
+    or None when any variant is not a plain leaf."""
+    shape = engine.catalog.get(sid)
+    if not isinstance(shape, AnyOfShape):
+        return None
+    out: List[Shape] = []
+    for vid in shape.variants:
+        v = engine.catalog.get(vid)
+        if isinstance(v, AnyOfShape):
+            sub = _anyof_leaves(engine, vid)
+            if sub is None:
+                return None
+            out.extend(sub)
+            continue
+        leaf = _leaf(engine, vid)
+        if leaf is None:
+            return None
+        out.append(leaf)
+    return out
+
+
 def _classify(engine, prop: Property):
     """Property plan: ('gather', kind, wrapper, leaf) via the pmap;
+    ('anyleaf', leaves) — an anyOf whose variants are all plain leaves,
+    evaluated like a plain property with a disjunctive term check;
     ('record', pred, inv, child_sid); ('bigset', pred, inv, set, leaf);
     ('bigsetrec', pred, inv, set, child_sid);
     ('map', pred, inv, map, item_sid, key_prop, part); or None."""
@@ -86,6 +110,10 @@ def _classify(engine, prop: Property):
     if pi is None:
         return None
     pred, inv = pi
+    if not inv:
+        leaves = _anyof_leaves(engine, prop.value_shape)
+        if leaves is not None:
+            return ("anyleaf", leaves)
     vs = engine.catalog.get(prop.value_shape)
     if isinstance(vs, RecordShape) and qualifies(engine, vs):
         return ("record", pred, inv, prop.value_shape)
@@ -131,6 +159,8 @@ def qualifies(engine, shape: Shape) -> bool:
     if cached is not None:
         return cached
     engine._fast_ok[key] = False  # cycle guard (recursive → general path)
+    plans = [_classify(engine, p) for p in shape.properties]
+    tplans = [_classify(engine, p) for p in shape.type_properties]
     ok = (
         key not in engine.recursive_ids
         and not shape.computed_properties
@@ -138,13 +168,20 @@ def qualifies(engine, shape: Shape) -> bool:
             engine._fast_kind(p) is not None
             for p in shape.type_properties
         )
-        and all(_classify(engine, p) is not None for p in shape.properties)
+        and all(pl is not None for pl in plans)
         # anchor: at least one exactly-one forward property guarantees
         # every match appears in the subject gather
         and any(
             (engine._fast_kind(p) or ("",))[0] == "plain"
             and not is_self_path(p.path)
             for p in shape.type_properties + shape.properties
+        )
+        # anyleaf is implemented by the scalar base only; a bounded-set
+        # property forces the array-gather base → fall back to general
+        and not (
+            any(pl and pl[0] == "anyleaf" for pl in plans)
+            and any(pl and pl[0] == "gather" and pl[1] == "set"
+                    for pl in plans + tplans)
         )
     )
     engine._fast_ok[key] = ok
@@ -195,14 +232,18 @@ def _scalar_base(engine, all_props,
     agg_exprs: List[str] = ["min(tid) AS sord"]
     preds: List[str] = []
     for i, (prop, plan) in enumerate(all_props):
-        if plan[0] != "gather":
+        if plan[0] == "anyleaf":
+            # matches when ANY variant matches (frameAnyOf over a
+            # leaf-only union): fail = every variant's check fails
+            fail = "(" + " AND ".join(
+                engine._s_node_checks(leaf, "o")[0] for leaf in plan[1]
+            ) + ")"
+        elif plan[0] == "gather" and not is_self_path(prop.path):
+            if plan[1] not in ("plain", "optional"):
+                return None  # bounded sets need the array gather
+            fail, _ = engine._s_node_checks(plan[3], "o")
+        else:
             continue
-        if is_self_path(prop.path):
-            continue
-        if plan[1] not in ("plain", "optional"):
-            return None  # bounded sets need the array gather
-        leaf = plan[3]
-        fail, _ = engine._s_node_checks(leaf, "o")
         pc = f"p = {s_str(prop.path.predicate)}"
         agg_exprs.append(
             f"count(CASE WHEN {pc} AND NOT {fail} THEN 1 END) AS __nm{i}")
@@ -222,6 +263,19 @@ def _scalar_base(engine, all_props,
 
     exprs = ["skey", f"{_FOCUS_SQL} AS focus", "sord AS ord"]
     for i, (prop, plan) in enumerate(all_props):
+        if plan[0] == "anyleaf":
+            m1 = f"(__m1{i}).o"
+            whens = " ".join(
+                f"WHEN NOT {engine._s_node_checks(leaf, m1)[0]} "
+                f"THEN {engine._s_node_value(leaf, m1)}"
+                for leaf in plan[1]
+            )
+            ok = f"(__nf{i} = 0 AND __nm{i} = 1)"
+            val = f"CASE WHEN {ok} THEN (CASE {whens} END) END"
+            exprs.append(
+                f"named_struct('ok', {ok}, "
+                f"'value', CAST(({val}) AS STRING)) AS __st{i}")
+            continue
         if plan[0] != "gather":
             continue
         kind, wrapper, leaf = plan[1], plan[2], plan[3]
@@ -266,7 +320,7 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
     join_specs = []  # (prop index, ok_sql, frag_sql or None)
     stat_cols: Dict[int, str] = {
         i: f"__st{i}" for i, (_, plan) in enumerate(all_props)
-        if plan[0] == "gather"
+        if plan[0] in ("gather", "anyleaf")
     }
 
     rel = _scalar_base(engine, all_props, capture)
@@ -297,7 +351,7 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
     # --- per-predicate joins for record/set/map-valued properties
     for i, (prop, plan) in enumerate(all_props):
         kind = plan[0]
-        if kind == "gather":
+        if kind in ("gather", "anyleaf"):
             continue
         pred, inv = plan[1], plan[2]
         e = _edges(engine, pred, inv)
@@ -422,7 +476,7 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
     # --- final assembly: gate + value JSON in one selectExpr
     ok_parts: List[str] = []
     for i, (prop, plan) in enumerate(all_props):
-        if plan[0] == "gather":
+        if plan[0] in ("gather", "anyleaf"):
             ok_parts.append(f"({stat_cols[i]}.ok)")
     for i, ok, frag in join_specs:
         ok_parts.append(ok)
@@ -432,7 +486,7 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
     for i, (prop, plan) in enumerate(all_props):
         if prop.transient:
             continue
-        if plan[0] == "gather":
+        if plan[0] in ("gather", "anyleaf"):
             st = stat_cols[i]
             ordered.append(
                 f"CASE WHEN ({st}).value IS NOT NULL THEN "
