@@ -66,6 +66,42 @@ def _predicate_step(
     return _dedup(out, keys)
 
 
+def _full_step_relation(
+    inner: PropertyPath, triples: DataFrame, reverse: bool,
+) -> DataFrame:
+    """One application of ``inner`` from every term in the graph.
+
+    Returns the full edge relation (__u = source term key, node =
+    reached term, tord = min tid over the final step), which is the
+    correct pointer-doubling base: every possible reachability
+    intermediate is a source row.  Plain predicate paths (the common
+    case) project the filtered triples directly — zero joins.
+    """
+    if isinstance(inner, InversePath):
+        return _full_step_relation(inner.inverse, triples, not reverse)
+    if isinstance(inner, PredicatePath):
+        src, dst = ("o", "s") if reverse else ("s", "o")
+        e = triples.filter(F.col("p") == F.lit(inner.predicate)).select(
+            term_key_col(F.col(src)).alias("__u"),
+            F.col(dst).alias("node"),
+            F.col("tid").alias("tord"),
+        )
+        return _dedup(e, ["__u"])
+    # Composite inner (sequence/alternative/nested closure): seed from
+    # every distinct term appearing anywhere in the graph; the first
+    # join of the path prunes non-starters.
+    seeds = (
+        triples.select(F.col("s").alias("node"))
+        .unionAll(triples.select(F.col("o").alias("node")))
+        .groupBy("node").agg(F.lit(0).alias("__z"))
+        .select(
+            term_key_col(F.col("node")).alias("__u"),
+            "node", F.lit(0).cast("long").alias("tord"),
+        )
+    )
+    return eval_path(inner, seeds, ["__u"], triples, reverse)
+
+
 def eval_path(
     path: PropertyPath,
     df: DataFrame,
@@ -115,26 +151,27 @@ def eval_path(
         inner = path.path
         include_self = isinstance(path, ZeroOrMorePath)
 
-        # Transitive closure by POINTER DOUBLING over the DISTINCT node
-        # set: R_{k+1} = R_k ∪ R_k∘R_k covers distances 1..2^(k+1), so
-        # the driver loop runs ceil(log2(diameter)) rounds instead of
+        # Transitive closure by POINTER DOUBLING over the FULL one-step
+        # relation: R_{k+1} = R_k ∪ R_k∘R_k covers distances 1..2^(k+1),
+        # so the driver loop runs ceil(log2(diameter)) rounds instead of
         # `diameter` (a 7-hop chain closes in 3 rounds, a 10^6-hop chain
-        # in 20).  The closure relation is keyed by the source TERM, not
-        # the per-site candidate key — sites re-join at the end, so the
-        # loop's shuffles move (u, v) term pairs only.  Scale note: the
-        # output IS the full reachability relation (what the caller
-        # asked for), so doubling does not change the asymptotic result
-        # size; each round is one equi-join + one min-aggregation.
-        srcs = df.select("node").groupBy("node").agg(
-            F.lit(0).alias("__z")
-        ).select(
-            term_key_col(F.col("node")).alias("__u"),
-            "node", F.lit(0).cast("long").alias("tord"),
-        )
-        # E: one application of ``inner`` from every distinct node;
-        # tord = min tid over final (single) steps — the invariant the
-        # doubling rounds preserve for every pair
-        r = eval_path(inner, srcs, ["__u"], triples, reverse) \
+        # in 20).  The base relation E is ``inner`` applied from EVERY
+        # term in the graph — NOT just df's candidate nodes — because
+        # R∘R composition requires every reachability intermediate to be
+        # a source already present in R; seeding only from candidates
+        # truncates reachability through non-candidate nodes at distance
+        # 1 (round-3 ADVICE, high).  For a plain predicate path E is a
+        # direct projection of the filtered triples (no seed join at
+        # all).  The relation is keyed by the source TERM, not the
+        # per-site candidate key — sites re-join at the end, so the
+        # loop's shuffles move (u, v) term pairs only.  Scale note: this
+        # computes the closure for ALL graph sources even when df is
+        # narrow; that is the price of log-round convergence (demand-
+        # driven edge discovery from a narrow seed is inherently one hop
+        # per round).  Closure components in shape workloads are chains/
+        # forests, so the all-source closure is O(edges · diameter), not
+        # all-pairs dense.
+        r = _full_step_relation(inner, triples, reverse) \
             .localCheckpoint(eager=False)
         total = r.count()
         iterations = 0

@@ -1,0 +1,101 @@
+"""Regression tests for the round-3 ADVICE high finding: closure paths
+(zeroOrMore/oneOrMore) must follow reachability through nodes that are
+NOT in the evaluation's candidate set.
+
+Pointer doubling composes R with itself, so every reachability
+intermediate must be a source row of the base relation; seeding only
+from df's candidate nodes truncated chains at distance 1 whenever an
+intermediate node was not itself a candidate (e.g. a closure property
+inside a nested record, or ``frame(candidates=[...])`` with a narrow
+list).  The fix builds the base relation from the full graph
+(paths._full_step_relation).
+"""
+
+import json
+
+from ramp_shapes_spark.dataset import triples_df
+from ramp_shapes_spark.frame import FrameEngine
+from ramp_shapes_spark.shapes import (
+    OneOrMorePath, PredicatePath, ShapeBuilder, ZeroOrMorePath, prop,
+)
+from ramp_shapes_spark.terms import RDF_TYPE, XSD_STRING, iri, lit
+
+EX = "http://example.com/clo#"
+
+
+def _chain_triples():
+    # root --inner--> n  ;  n -next-> c1 -next-> c2 -next-> c3
+    # only `root` and `n` are "candidates" for their shapes; c1..c3 are
+    # reachable exclusively through the closure.
+    return [
+        (iri("root"), RDF_TYPE, iri(EX + "Root")),
+        (iri("root"), EX + "inner", iri("n")),
+        (iri("n"), EX + "label", lit("n")),
+        (iri("n"), EX + "next", iri("c1")),
+        (iri("c1"), EX + "next", iri("c2")),
+        (iri("c2"), EX + "next", iri("c3")),
+    ]
+
+
+def _values(res):
+    return [json.loads(r["value"]) for r in res.matches.collect()]
+
+
+def test_closure_on_nested_record_property(spark):
+    """A one-or-more closure on a property of a NESTED record reaches the
+    full chain, not just distance 1 (pre-fix: reach == ["c1"])."""
+    b = ShapeBuilder()
+    inner_rec = b.record(
+        EX + "Inner",
+        properties=[
+            prop("label", EX + "label", b.literal(datatype=XSD_STRING)),
+            prop("reach", OneOrMorePath(PredicatePath(EX + "next")),
+                 b.set_of(b.resource(only_named=True))),
+        ],
+    )
+    root = b.record(
+        EX + "Root",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Root")), transient=True)],
+        properties=[prop("inner", EX + "inner", inner_rec)],
+    )
+    engine = FrameEngine(spark, b.catalog, triples_df(spark, _chain_triples()))
+    rows = _values(engine.frame(root))
+    assert len(rows) == 1
+    assert sorted(rows[0]["inner"]["reach"]) == ["c1", "c2", "c3"]
+
+
+def test_closure_with_narrow_candidates(spark):
+    """frame(candidates=[n]) with a zero-or-more closure follows the whole
+    chain even though c1..c3 are not candidates."""
+    b = ShapeBuilder()
+    node = b.record(
+        EX + "Node",
+        properties=[
+            prop("label", EX + "label", b.literal(datatype=XSD_STRING)),
+            prop("reach", ZeroOrMorePath(PredicatePath(EX + "next")),
+                 b.set_of(b.resource(only_named=True))),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, triples_df(spark, _chain_triples()))
+    rows = _values(engine.frame(node, candidates=[iri("n")]))
+    assert len(rows) == 1
+    assert sorted(rows[0]["reach"]) == ["c1", "c2", "c3", "n"]
+
+
+def test_closure_universe_unchanged(spark):
+    """Root-level closure over the universe still returns the same result
+    (the pre-fix green path must stay green)."""
+    b = ShapeBuilder()
+    node = b.record(
+        EX + "Node",
+        properties=[
+            prop("label", EX + "label", b.literal(datatype=XSD_STRING)),
+            prop("reach", OneOrMorePath(PredicatePath(EX + "next")),
+                 b.set_of(b.resource(only_named=True))),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, triples_df(spark, _chain_triples()))
+    rows = _values(engine.frame(node))
+    assert len(rows) == 1
+    assert sorted(rows[0]["reach"]) == ["c1", "c2", "c3"]
