@@ -617,3 +617,69 @@ def q_flatten_relational_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_flatten_relational_counts() -> str:
     return oracle_flatten_roundtrip_counts()
+
+
+def q_flatten_list_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIST-shape relational flatten (the head/tail chain JVM emitter,
+    flatten.ts:470-512): per order, an rdf list of its high-quantity
+    lineitem quantity strings (linenumber order; empty list → rdf:nil
+    edge); per-predicate triple counts."""
+    from ramp_shapes_spark.flatten import flatten_triples
+    from ramp_shapes_spark.relational_flatten import supports_shape
+
+    b = ShapeBuilder()
+    order = b.record(
+        EX + "Order",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Order")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("qtys", EX + "qtys",
+                 b.list_of(b.literal(datatype=XSD_STRING))),
+        ],
+    )
+    assert supports_shape(b.catalog, order)
+
+    ords = _load(spark, sf_dir, "orders").select(
+        F.concat(F.lit("ord:"), F.col("o_orderkey").cast("string"))
+        .alias("id"),
+        F.col("o_orderkey").alias("k"),
+    )
+    li = (
+        _load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").cast("bigint").cast("string")
+                .alias("q")))),
+            lambda e: e["q"]).alias("qtys"))
+    )
+    values = ords.join(li, "k", "left").select(
+        F.col("id").alias("seed"),
+        F.to_json(F.struct(
+            F.col("id"),
+            F.coalesce("qtys", F.array().cast("array<string>"))
+            .alias("qtys"))).alias("value"),
+    )
+    flat = flatten_triples(values, b.catalog, order, seed_col="seed")
+    return flat.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+
+
+def oracle_flatten_list_counts() -> str:
+    from ramp_shapes_spark.terms import RDF_FIRST, RDF_REST
+    # per order: 1 rdf:type + 1 qtys edge (head node or rdf:nil); per
+    # filtered lineitem: 1 rdf:first + 1 rdf:rest link
+    return f"""
+        WITH o AS (SELECT count(*) AS c FROM orders),
+             l AS (SELECT count(*) AS c FROM lineitem
+                   WHERE l_quantity > 45)
+        SELECT '{RDF_TYPE}' AS p, CAST(c AS BIGINT) AS n FROM o
+        UNION ALL
+        SELECT '{EX}qtys', CAST(c AS BIGINT) FROM o
+        UNION ALL
+        SELECT '{RDF_FIRST}', CAST(c AS BIGINT) FROM l
+        UNION ALL
+        SELECT '{RDF_REST}', CAST(c AS BIGINT) FROM l
+    """

@@ -4,11 +4,11 @@ The generic flatten path (:mod:`ramp_shapes_spark.flatten`) runs the
 reference-semantics interpreter per row inside ``mapInPandas`` — the
 right fallback for any shape, but a Python-CPU wall on the single most
 row-multiplying stage of a 100 TB pipeline.  For the acyclic shape
-fragment that covers real pipelines (records, sets, optionals,
-resource/literal leaves, constant type-properties, forward/inverse
-predicate paths — reference semantics flatten.ts:200-248, 302-357,
-386-443), this module *compiles* the shape into a single JVM
-expression:
+fragment that covers real pipelines (records, sets, optionals, anyOf
+unions, maps, LISTS (head/tail chains), resource/literal leaves,
+constant type-properties, forward/inverse predicate paths — reference
+semantics flatten.ts:200-248, 302-357, 386-443, 470-565), this module
+*compiles* the shape into a single JVM expression:
 
     from_json(value, <schema derived from the shape>)
       → array<struct<s,p,o>> assembled with concat/transform
@@ -39,14 +39,14 @@ from pyspark.sql.types import (
 )
 
 from .shapes import (
-    AnyOfShape, InversePath, LiteralShape, MapShape, OptionalShape,
-    PredicatePath, RecordShape, ResourceShape, SetShape, ShapeCatalog,
-    ShapeID, is_self_path,
+    AnyOfShape, InversePath, ListShape, LiteralShape, MapShape,
+    OptionalShape, PredicatePath, RecordShape, ResourceShape, SetShape,
+    ShapeCatalog, ShapeID, is_self_path,
 )
 from .sqlutil import s_str
 from .terms import (
-    FRACTIONAL_TYPES, INTEGER_TYPES, RDF_LANG_STRING, Term, XSD_BOOLEAN,
-    XSD_STRING,
+    FRACTIONAL_TYPES, INTEGER_TYPES, RDF_FIRST, RDF_LANG_STRING, RDF_NIL,
+    RDF_REST, Term, XSD_BOOLEAN, XSD_STRING,
 )
 
 TERM_SQL = "struct<kind:string,value:string,dt:string,lang:string>"
@@ -79,7 +79,7 @@ def shape_struct_type(catalog: ShapeCatalog, sid: ShapeID,
             fields.append(StructField(
                 p.name, shape_struct_type(catalog, p.value_shape, seen), True))
         return StructType(fields)
-    if isinstance(shape, SetShape):
+    if isinstance(shape, (SetShape, ListShape)):
         return ArrayType(shape_struct_type(catalog, shape.item_shape, seen))
     if isinstance(shape, MapShape):
         if shape.value is not None:
@@ -234,6 +234,11 @@ class _Compiler:
         if isinstance(shape, (SetShape, MapShape)):
             inner = self._static_count(self.catalog.get(shape.item_shape))
             return 0 if inner == 0 else None
+        if isinstance(shape, ListShape):
+            # non-empty lists always allocate the match-phase head node
+            # (pyflatten._ListMatch.__init__) → always data-dependent
+            self._static_count(self.catalog.get(shape.item_shape))
+            return None
         if isinstance(shape, AnyOfShape):
             # supported only when every variant generates zero blank
             # nodes (leaves, sets of leaves, nested such unions) — then
@@ -270,12 +275,87 @@ class _Compiler:
                 raise UnsupportedShape(
                     "set/map items with data-dependent blank-node counts")
             return f"(coalesce(size({value}), 0) * {per})"
+        if isinstance(shape, ListShape):
+            item = self.catalog.get(shape.item_shape)
+            per = self._static_count(item)
+            if per is None:
+                raise UnsupportedShape(
+                    "list items with data-dependent blank-node counts")
+            # items matched first (per each), then ONE "list" head node
+            # when non-empty (pyflatten._ListMatch.__init__)
+            return (f"(CASE WHEN ({value}) IS NULL OR size({value}) = 0 "
+                    f"THEN 0 ELSE size({value}) * {per} + 1 END)")
         if isinstance(shape, RecordShape):
             parts = ["0" if self._has_self_subject(shape) else "1"]
             for prop in shape.type_properties + shape.properties:
                 if prop.transient or is_self_path(prop.path):
                     continue
                 parts.append(self._count_expr(
+                    self.catalog.get(prop.value_shape),
+                    f"({value}).{_q(prop.name)}"))
+            return "(" + " + ".join(parts) + ")"
+        raise UnsupportedShape(f"{shape.type} shape")
+
+    # -- generate-phase blank-node counting -----------------------------
+    # The interpreter's counter is ONE 1-indexed sequence shared by both
+    # phases: every match-phase blank node (record subjects, list head
+    # nodes) is numbered first, then generate-phase nodes (list TAIL
+    # nodes, pyflatten._ListMatch.generate) continue from the total
+    # match count in generation (= declaration DFS) order.
+
+    def _static_gen_count(self, shape) -> Optional[int]:
+        """Generate-phase blank nodes per instance when data-independent
+        (today: only list tail nodes are generate-phase)."""
+        if isinstance(shape, (ResourceShape, LiteralShape, AnyOfShape)):
+            # anyOf variants are restricted to zero-bnode leaves by
+            # _static_count, so no variant can hold a list
+            return 0
+        if isinstance(shape, OptionalShape):
+            inner = self._static_gen_count(self.catalog.get(shape.item_shape))
+            return 0 if inner == 0 else None
+        if isinstance(shape, (SetShape, MapShape)):
+            inner = self._static_gen_count(self.catalog.get(shape.item_shape))
+            return 0 if inner == 0 else None
+        if isinstance(shape, ListShape):
+            return None
+        if isinstance(shape, RecordShape):
+            total = 0
+            for prop in shape.type_properties + shape.properties:
+                if prop.transient or is_self_path(prop.path):
+                    continue
+                sub = self._static_gen_count(
+                    self.catalog.get(prop.value_shape))
+                if sub is None:
+                    return None
+                total += sub
+            return total
+        raise UnsupportedShape(f"{shape.type} shape")
+
+    def _gen_count_expr(self, shape, value: str) -> str:
+        static = self._static_gen_count(shape)
+        if static is not None:
+            return str(static)
+        if isinstance(shape, OptionalShape):
+            inner = self._gen_count_expr(
+                self.catalog.get(shape.item_shape), value)
+            return f"(CASE WHEN ({value}) IS NULL THEN 0 ELSE {inner} END)"
+        if isinstance(shape, ListShape):
+            if self._static_gen_count(
+                    self.catalog.get(shape.item_shape)) != 0:
+                raise UnsupportedShape(
+                    "list items generating tail-phase blank nodes")
+            # n-1 tail nodes per non-empty list (last link is nil)
+            return (f"(CASE WHEN ({value}) IS NULL OR size({value}) <= 1 "
+                    f"THEN 0 ELSE size({value}) - 1 END)")
+        if isinstance(shape, (SetShape, MapShape)):
+            raise UnsupportedShape(
+                "set/map items generating tail-phase blank nodes")
+        if isinstance(shape, RecordShape):
+            parts = ["0"]
+            for prop in shape.type_properties + shape.properties:
+                if prop.transient or is_self_path(prop.path):
+                    continue
+                parts.append(self._gen_count_expr(
                     self.catalog.get(prop.value_shape),
                     f"({value}).{_q(prop.name)}"))
             return "(" + " + ".join(parts) + ")"
@@ -295,21 +375,26 @@ class _Compiler:
         return self._bnode(shape, counter)
 
     def record_triples(self, shape: RecordShape, value: str, subj: str,
-                       offset: str) -> str:
+                       offset: str, gen_offset: str = "0") -> str:
         """array<triple> expr for one record instance whose children's
-        blank-node counters start after ``offset``."""
+        match-phase blank-node counters start after ``offset`` and
+        generate-phase counters (list tails) after ``gen_offset``."""
         parts: List[str] = []
         for prop in shape.type_properties + shape.properties:
             vshape = self.catalog.get(prop.value_shape)
             if prop.transient:
                 # transient synthesis (flatten.ts:238-251): constants
-                # emit; optional/set/map synthesize empty → no triples
+                # emit; optional/set/map synthesize empty → no triples;
+                # lists synthesize [] → the nil edge
                 if isinstance(vshape, (ResourceShape, LiteralShape)) and \
                         vshape.value is not None:
                     parts.append(
                         f"array({_edge(subj, prop.path, _const_term(vshape.value))})")
                 elif isinstance(vshape, (OptionalShape, SetShape)):
                     continue
+                elif isinstance(vshape, ListShape):
+                    nil = _const_term(vshape.nil or Term("iri", RDF_NIL))
+                    parts.append(f"array({_edge(subj, prop.path, nil)})")
                 else:
                     raise UnsupportedShape(
                         f"transient property {prop.name} synthesis")
@@ -317,14 +402,16 @@ class _Compiler:
             if is_self_path(prop.path):
                 continue  # the subject itself; no edge emitted
             pv = f"({value}).{_q(prop.name)}"
-            parts.append(self.prop_triples(prop, vshape, pv, subj, offset))
+            parts.append(
+                self.prop_triples(prop, vshape, pv, subj, offset, gen_offset))
             offset = f"({offset} + {self._count_expr(vshape, pv)})"
+            gen_offset = f"({gen_offset} + {self._gen_count_expr(vshape, pv)})"
         if not parts:
             return EMPTY_TRIPLES
         return f"concat({', '.join(parts)})"
 
     def prop_triples(self, prop, vshape, pv: str, subj: str,
-                     offset: str) -> str:
+                     offset: str, gen_offset: str = "0") -> str:
         optional = False
         if isinstance(vshape, OptionalShape):
             optional = True
@@ -412,12 +499,16 @@ class _Compiler:
                 return (f"CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
                         f"ELSE {body} END")
             return body
+        if isinstance(vshape, ListShape):
+            return self._list_triples(prop, vshape, pv, subj, offset,
+                                      gen_offset)
         if isinstance(vshape, RecordShape):
             own = self._count_expr(vshape, pv)
             subj_ctr = f"({offset} + {own})"  # children first, own last
             child_subj = self.record_subject(vshape, pv, subj_ctr)
             edge = f"array({_edge(subj, prop.path, child_subj)})"
-            body = self.record_triples(vshape, pv, child_subj, offset)
+            body = self.record_triples(vshape, pv, child_subj, offset,
+                                       gen_offset)
             full = f"concat({edge}, {body})"
             if optional:
                 return (f"CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
@@ -425,6 +516,75 @@ class _Compiler:
             return full
         raise UnsupportedShape(f"property value shape {vshape.type}")
 
+
+    # -- list (flatten.ts:470-512, pyflatten._ListMatch) ----------------
+    def _list_triples(self, prop, vshape: ListShape, pv: str, subj: str,
+                      offset: str, gen_offset: str) -> str:
+        """head/tail chain emission, counter-exact vs the interpreter:
+
+        * items are MATCHED first (``per`` match-phase bnodes each, in
+          element order, from ``offset``), then the list's HEAD node is
+          the next match-phase counter (``offset + n*per + 1``);
+        * tail link nodes are GENERATE-phase: element i's successor node
+          (i < n-1) takes counter ``gen_offset + i + 1``; the final link
+          is ``nil``;
+        * triple order per element: head edge (+ item record body), then
+          the tail edge — exactly _ListMatch.generate.
+        """
+        item = self.catalog.get(vshape.item_shape)
+        head = vshape.head_path or PredicatePath(RDF_FIRST)
+        tail = vshape.tail_path or PredicatePath(RDF_REST)
+        nil = _const_term(vshape.nil or Term("iri", RDF_NIL))
+        n = f"size({pv})"
+        x = self._var()
+        i = f"{x}_i"
+
+        class _ListNode:  # bnode prefix carrier for self._bnode
+            type = "list"
+
+        def list_bnode(ctr: str) -> str:
+            return self._bnode(_ListNode, ctr)
+
+        if isinstance(item, (ResourceShape, LiteralShape)):
+            if item.keep_as_term or (isinstance(item, ResourceShape)
+                                     and item.vocabulary is not None):
+                raise UnsupportedShape("keepAsTerm/vocabulary leaf")
+            per = 0
+        elif isinstance(item, RecordShape):
+            per = self._static_count(item)
+            if per is None:
+                raise UnsupportedShape(
+                    "list items with data-dependent blank-node counts")
+            if self._static_gen_count(item) != 0:
+                raise UnsupportedShape(
+                    "list items generating tail-phase blank nodes")
+        else:
+            raise UnsupportedShape(f"list item shape {item.type}")
+
+        head_ctr = f"({offset} + {n} * {per} + 1)"
+        cur = (f"(CASE WHEN {i} = 0 THEN {list_bnode(head_ctr)} "
+               f"ELSE {list_bnode(f'({gen_offset} + {i})')} END)")
+        nxt = (f"(CASE WHEN {i} = {n} - 1 THEN {nil} "
+               f"ELSE {list_bnode(f'({gen_offset} + {i} + 1)')} END)")
+        tail_edge = f"array({_edge(cur, tail, nxt)})"
+        if isinstance(item, (ResourceShape, LiteralShape)):
+            head_edge = f"array({_edge(cur, head, _leaf_term(item, x))})"
+            body = f"concat({head_edge}, {tail_edge})"
+        else:
+            elem_off = f"({offset} + {i} * {per})"
+            subj_ctr = f"({elem_off} + {per})"
+            child_subj = self.record_subject(item, x, subj_ctr)
+            head_edge = f"array({_edge(cur, head, child_subj)})"
+            child_body = self.record_triples(item, x, child_subj, elem_off)
+            body = f"concat({head_edge}, {child_body}, {tail_edge})"
+
+        arr = f"flatten(transform({pv}, ({x}, {i}) -> {body}))"
+        first = list_bnode(head_ctr)
+        nonempty = f"concat(array({_edge(subj, prop.path, first)}), {arr})"
+        return (f"(CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
+                f"WHEN size({pv}) = 0 "
+                f"THEN array({_edge(subj, prop.path, nil)}) "
+                f"ELSE {nonempty} END)")
 
     # -- anyOf over a VARIANT-typed value (flatten.ts:363-384) ----------
     _INT_SCHEMAS = "('TINYINT','SMALLINT','INT','BIGINT')"
@@ -553,10 +713,11 @@ def compile_flatten_exprs(catalog: ShapeCatalog, root: ShapeID):
     schema = shape_struct_type(catalog, root)
     comp = _Compiler(catalog, "seed")
     # the root's own blank node (when no self subject) is generated
-    # AFTER all children (flatten.ts:203-217)
+    # AFTER all children (flatten.ts:203-217); generate-phase counters
+    # (list tail nodes) continue after the FULL match-phase count
     own_ctr = comp._count_expr(shape, "v")
     subj = comp.record_subject(shape, "v", own_ctr)
-    triples = comp.record_triples(shape, "v", subj, "0")
+    triples = comp.record_triples(shape, "v", subj, "0", own_ctr)
     return schema, triples
 
 

@@ -119,16 +119,100 @@ def test_distinct_bnodes_across_rows_and_elements(spark):
 
 
 def test_unsupported_falls_back():
+    # keepAsTerm leaves remain outside the fragment → interpreter path
     b = ShapeBuilder()
     rec = b.record(
         EX + "R",
-        properties=[prop("xs", EX + "xs",
-                         b.list_of(b.literal(datatype=XSD_STRING)))],
+        properties=[prop("x", EX + "x",
+                         b.literal(datatype=XSD_STRING, keep_as_term=True))],
     )
     with pytest.raises(UnsupportedShape):
         from ramp_shapes_spark.relational_flatten import compile_flatten_exprs
         compile_flatten_exprs(b.catalog, rec)
     assert not supports_shape(b.catalog, rec)
+
+
+def _list_catalog():
+    """List-bearing shapes (flatten.ts:470-512; list1/list-cyclic fixture
+    family): leaf item lists, record item lists, a custom head/tail list,
+    and sibling properties before AND after each list so both match-phase
+    and generate-phase counter offsets are exercised."""
+    b = ShapeBuilder()
+    step = b.record(
+        EX + "Step",
+        properties=[
+            prop("verb", EX + "verb", b.literal(datatype=XSD_STRING)),
+            prop("arg", EX + "arg",
+                 b.optional(b.literal(datatype=XSD_STRING))),
+        ],
+    )
+    plan = b.record(
+        EX + "Plan",
+        type_properties=[prop("type", RDF_TYPE,
+                              b.constant(iri(EX + "Plan")), transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("tags", EX + "tags",
+                 b.list_of(b.literal(datatype=XSD_STRING))),
+            prop("steps", EX + "steps", b.list_of(step)),
+            prop("alt", EX + "alt",
+                 b.list_of(b.literal(datatype=XSD_STRING),
+                           head_path=PredicatePath(EX + "h"),
+                           tail_path=PredicatePath(EX + "t"))),
+            prop("note", EX + "note",
+                 b.optional(b.literal(datatype=XSD_STRING))),
+            prop("extra", EX + "extra", b.set_of(step)),
+        ],
+    )
+    return b.catalog, plan
+
+
+LIST_VALUES = [
+    {"id": "plan:1", "tags": ["a", "b", "c"],
+     "steps": [{"verb": "read", "arg": "f.txt"}, {"verb": "run"}],
+     "alt": ["x"], "note": "n1",
+     "extra": [{"verb": "cleanup"}]},
+    {"id": "plan:2", "tags": [], "steps": [], "alt": [], "extra": []},
+    {"id": "plan:3", "tags": ["only"],
+     "steps": [{"verb": "a"}, {"verb": "b"}, {"verb": "c"}],
+     "alt": ["p", "q"], "extra": []},
+]
+
+
+def test_list_flatten_matches_interpreter(spark):
+    catalog, plan = _list_catalog()
+    assert supports_shape(catalog, plan)
+    got = _spark_triples(spark, catalog, plan, LIST_VALUES)
+    for i, v in enumerate(LIST_VALUES):
+        want = flatten_py(catalog, plan, v)
+        assert triple_sets_isomorphic(got.get(str(i), []), want), (
+            f"value {i}: got {sorted(got.get(str(i), []), key=str)} "
+            f"want {sorted(want, key=str)}")
+
+
+def test_list_flatten_bnodes_byte_identical(spark):
+    """Counters must replicate the interpreter's interleaved match-phase
+    (item + head node) / generate-phase (tail nodes) sequence exactly."""
+    from ramp_shapes_spark.pyflatten import deterministic_bnode_generator
+    catalog, plan = _list_catalog()
+    got = _spark_triples(spark, catalog, plan, LIST_VALUES)
+    for i, v in enumerate(LIST_VALUES):
+        want = flatten_py(catalog, plan, v,
+                          deterministic_bnode_generator(str(i)))
+        gset = {(s.key(), p, o.key()) for s, p, o in got.get(str(i), [])}
+        wset = {(s.key(), p, o.key()) for s, p, o in want}
+        assert gset == wset, f"value {i}: {gset ^ wset}"
+
+
+def test_list_flatten_plan_has_no_python(spark):
+    catalog, plan = _list_catalog()
+    df = spark.createDataFrame(
+        [(json.dumps(LIST_VALUES[0]),)], "value string")
+    out = flatten_relational(df, catalog, plan)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "ArrowEvalPython" not in p
 
 
 def _union_catalog():
