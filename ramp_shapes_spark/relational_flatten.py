@@ -53,6 +53,17 @@ TERM_SQL = "struct<kind:string,value:string,dt:string,lang:string>"
 TRIPLE_SQL = f"struct<s:{TERM_SQL},p:string,o:{TERM_SQL}>"
 EMPTY_TRIPLES = f"CAST(array() AS array<{TRIPLE_SQL}>)"
 
+# framed keepAsTerm values serialize as {"@term": {kind, value, dt?,
+# lang?}} (frame._s_node_value → sqlutil.s_term_json)
+_TERM_WRAPPER_TYPE = StructType([
+    StructField("@term", StructType([
+        StructField("kind", StringType(), True),
+        StructField("value", StringType(), True),
+        StructField("dt", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]), True),
+])
+
 
 class UnsupportedShape(Exception):
     """Shape uses a construct outside the relational-flatten fragment."""
@@ -96,12 +107,14 @@ def shape_struct_type(catalog: ShapeCatalog, sid: ShapeID,
         from pyspark.sql.types import VariantType
         return VariantType()
     if isinstance(shape, ResourceShape):
-        if shape.keep_as_term or shape.vocabulary is not None:
-            raise UnsupportedShape("keepAsTerm/vocabulary resource")
+        if shape.keep_as_term:
+            return _TERM_WRAPPER_TYPE
+        if shape.vocabulary is not None:
+            return StringType()  # the vocabulary KEY (value-mapping.ts)
         return StringType()
     if isinstance(shape, LiteralShape):
         if shape.keep_as_term:
-            raise UnsupportedShape("keepAsTerm literal")
+            return _TERM_WRAPPER_TYPE
         dt = shape.effective_datatype()
         if dt == XSD_STRING or (dt == RDF_LANG_STRING and shape.language):
             return StringType()
@@ -156,9 +169,29 @@ def _const_term(t: Term) -> str:
             f"{s_str(t.value)}, 'dt', {dt}, 'lang', {lang})")
 
 
+def _term_from_wrapper(e: str) -> str:
+    """TERM struct from a parsed {"@term": {...}} wrapper value
+    (keepAsTerm round trip — toRdf is identity for terms)."""
+    t = f"({e}).`@term`"
+    return (f"named_struct('kind', {t}.kind, 'value', {t}.value, "
+            f"'dt', {t}.dt, 'lang', {t}.lang)")
+
+
+def _vocab_term(shape: ResourceShape, e: str) -> str:
+    """Vocabulary toRdf (value-mapping.ts:79-91): the framed KEY string
+    rebuilds the dictionary term via a static in-expression map."""
+    entries = ", ".join(
+        f"{s_str(key)}, {_const_term(term)}" for key, term in shape.vocabulary)
+    return f"try_element_at(map({entries}), ({e}))"
+
+
 def _leaf_term(shape, e: str) -> str:
     """toRdf of a leaf value expr (value-mapping.ts toRdf)."""
+    if shape.keep_as_term:
+        return _term_from_wrapper(e)
     if isinstance(shape, ResourceShape):
+        if shape.vocabulary is not None:
+            return _vocab_term(shape, e)
         return _iri_or_bnode(e)
     dt = shape.effective_datatype()
     if dt == XSD_STRING:
@@ -371,7 +404,12 @@ class _Compiler:
             if is_self_path(prop.path) and not prop.transient:
                 vshape = self.catalog.get(prop.value_shape)
                 if isinstance(vshape, ResourceShape):
-                    return _iri_or_bnode(f"({value}).{_q(prop.name)}")
+                    pv = f"({value}).{_q(prop.name)}"
+                    if vshape.keep_as_term:
+                        return _term_from_wrapper(pv)
+                    if vshape.vocabulary is not None:
+                        return _vocab_term(vshape, pv)
+                    return _iri_or_bnode(pv)
         return self._bnode(shape, counter)
 
     def record_triples(self, shape: RecordShape, value: str, subj: str,
@@ -417,10 +455,6 @@ class _Compiler:
             optional = True
             vshape = self.catalog.get(vshape.item_shape)
         if isinstance(vshape, (ResourceShape, LiteralShape)):
-            if vshape.keep_as_term or (
-                    isinstance(vshape, ResourceShape)
-                    and vshape.vocabulary is not None):
-                raise UnsupportedShape("keepAsTerm/vocabulary leaf")
             one = f"array({_edge(subj, prop.path, _leaf_term(vshape, pv))})"
             if optional:
                 return (f"CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
@@ -429,9 +463,6 @@ class _Compiler:
         if isinstance(vshape, SetShape):
             item = self.catalog.get(vshape.item_shape)
             if isinstance(item, (ResourceShape, LiteralShape)):
-                if item.keep_as_term or (isinstance(item, ResourceShape)
-                                         and item.vocabulary is not None):
-                    raise UnsupportedShape("keepAsTerm/vocabulary leaf")
                 x = self._var()
                 body = f"array({_edge(subj, prop.path, _leaf_term(item, x))})"
                 arr = f"flatten(transform({pv}, {x} -> {body}))"
@@ -469,9 +500,6 @@ class _Compiler:
                 raise UnsupportedShape("map value reference")
             item = self.catalog.get(vshape.item_shape)
             if isinstance(item, (ResourceShape, LiteralShape)):
-                if item.keep_as_term or (isinstance(item, ResourceShape)
-                                         and item.vocabulary is not None):
-                    raise UnsupportedShape("keepAsTerm/vocabulary leaf")
                 x = self._var()
                 body = (f"array({_edge(subj, prop.path, _leaf_term(item, f'{x}.value'))})")
                 arr = f"flatten(transform(map_entries({pv}), {x} -> {body}))"
@@ -546,9 +574,6 @@ class _Compiler:
             return self._bnode(_ListNode, ctr)
 
         if isinstance(item, (ResourceShape, LiteralShape)):
-            if item.keep_as_term or (isinstance(item, ResourceShape)
-                                     and item.vocabulary is not None):
-                raise UnsupportedShape("keepAsTerm/vocabulary leaf")
             per = 0
         elif isinstance(item, RecordShape):
             per = self._static_count(item)

@@ -119,17 +119,94 @@ def test_distinct_bnodes_across_rows_and_elements(spark):
 
 
 def test_unsupported_falls_back():
-    # keepAsTerm leaves remain outside the fragment → interpreter path
+    # recursive shapes remain outside the fragment → interpreter path
     b = ShapeBuilder()
-    rec = b.record(
+    rec_id = iri(EX + "R")
+    b.record(
         EX + "R",
-        properties=[prop("x", EX + "x",
-                         b.literal(datatype=XSD_STRING, keep_as_term=True))],
+        properties=[prop("next", EX + "next", b.optional(rec_id))],
     )
     with pytest.raises(UnsupportedShape):
         from ramp_shapes_spark.relational_flatten import compile_flatten_exprs
-        compile_flatten_exprs(b.catalog, rec)
-    assert not supports_shape(b.catalog, rec)
+        compile_flatten_exprs(b.catalog, rec_id)
+    assert not supports_shape(b.catalog, rec_id)
+
+
+def _term_catalog():
+    """keepAsTerm and vocabulary leaves (value-mapping.ts:25-35, 67-91)
+    inside the relational fragment: direct, optional, set and list
+    positions."""
+    from ramp_shapes_spark.terms import lit
+
+    b = ShapeBuilder()
+    vocab_status = b.resource(vocabulary=(
+        ("open", iri(EX + "StatusOpen")),
+        ("closed", iri(EX + "StatusClosed")),
+    ))
+    doc = b.record(
+        EX + "Doc",
+        type_properties=[prop("type", RDF_TYPE,
+                              b.constant(iri(EX + "Doc")), transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("raw", EX + "raw",
+                 b.literal(datatype=XSD_STRING, keep_as_term=True)),
+            prop("origin", EX + "origin", b.resource(keep_as_term=True)),
+            prop("status", EX + "status", vocab_status),
+            prop("alts", EX + "alts",
+                 b.set_of(b.literal(keep_as_term=True))),
+            prop("hist", EX + "hist", b.list_of(vocab_status)),
+            prop("note", EX + "note",
+                 b.optional(b.resource(keep_as_term=True))),
+        ],
+    )
+    return b.catalog, doc
+
+
+TERM_VALUES = [
+    {"id": "doc:1",
+     "raw": {"@term": {"kind": "lit", "value": "hello",
+                       "dt": "http://www.w3.org/2001/XMLSchema#string"}},
+     "origin": {"@term": {"kind": "iri", "value": "src:web"}},
+     "status": "open",
+     "alts": [
+         {"@term": {"kind": "lit", "value": "bonjour",
+                    "dt": "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+                    "lang": "fr"}},
+         {"@term": {"kind": "lit", "value": "42",
+                    "dt": "http://www.w3.org/2001/XMLSchema#integer"}},
+     ],
+     "hist": ["closed", "open"],
+     "note": {"@term": {"kind": "bnode", "value": "b7"}}},
+    {"id": "doc:2",
+     "raw": {"@term": {"kind": "lit", "value": "x",
+                       "dt": "http://www.w3.org/2001/XMLSchema#string"}},
+     "origin": {"@term": {"kind": "bnode", "value": "o1"}},
+     "status": "closed", "alts": [], "hist": []},
+]
+
+
+def test_keepasterm_vocab_matches_interpreter(spark):
+    catalog, doc = _term_catalog()
+    assert supports_shape(catalog, doc)
+    got = _spark_triples(spark, catalog, doc, TERM_VALUES)
+    for i, v in enumerate(TERM_VALUES):
+        want = flatten_py(catalog, doc, v)
+        assert triple_sets_isomorphic(got.get(str(i), []), want), (
+            f"value {i}: got {sorted(got.get(str(i), []), key=str)} "
+            f"want {sorted(want, key=str)}")
+
+
+def test_keepasterm_vocab_bnodes_byte_identical(spark):
+    from ramp_shapes_spark.pyflatten import deterministic_bnode_generator
+    catalog, doc = _term_catalog()
+    got = _spark_triples(spark, catalog, doc, TERM_VALUES)
+    for i, v in enumerate(TERM_VALUES):
+        want = flatten_py(catalog, doc, v,
+                          deterministic_bnode_generator(str(i)))
+        gset = {(s.key(), p, o.key()) for s, p, o in got.get(str(i), [])}
+        wset = {(s.key(), p, o.key()) for s, p, o in want}
+        assert gset == wset, f"value {i}: {gset ^ wset}"
 
 
 def _list_catalog():
