@@ -102,12 +102,22 @@ def _classify(engine, prop: Property):
     evaluated like a plain property with a disjunctive term check;
     ('record', pred, inv, child_sid); ('bigset', pred, inv, set, leaf);
     ('bigsetrec', pred, inv, set, child_sid);
+    ('pathset', path, set, leaf) — a leaf set over an arbitrary
+    property path (sequence/alternative/zeroOrOne/closure), its
+    relation built by the shared path evaluator from the universe seed;
     ('map', pred, inv, map, item_sid, key_prop, part); or None."""
     fk = engine._fast_kind(prop)
     if fk is not None:
         return ("gather", fk[0], fk[1], fk[2])
     pi = _pred_of(prop.path)
     if pi is None:
+        if is_self_path(prop.path):
+            return None
+        vs = engine.catalog.get(prop.value_shape)
+        if isinstance(vs, SetShape):
+            leaf = _leaf(engine, vs.item_shape)
+            if leaf is not None:
+                return ("pathset", prop.path, vs, leaf)
         return None
     pred, inv = pi
     if not inv:
@@ -196,6 +206,32 @@ _FOCUS_SQL = (
     f"'value', split(skey, {s_str(chr(31))})[1], "
     "'dt', CAST(NULL AS STRING), 'lang', CAST(NULL AS STRING))"
 )
+
+
+def _len_guard(engine, col: str, what: str) -> str:
+    """Fail LOUDLY (raise_error) when a single subject's serialized
+    set/map value exceeds ``engine.max_set_value_len`` — a hub subject
+    must produce a clean error, never a silent executor OOM."""
+    mx = engine.max_set_value_len
+    return (
+        f"CASE WHEN length({col}) > {mx} THEN CAST(raise_error(concat("
+        f"'fast-tree {what} value exceeds max_set_value_len={mx} "
+        f"serialized bytes for subject key ', __ek)) AS STRING) "
+        f"ELSE {col} END"
+    )
+
+
+def _path_rel(engine, path, base: DataFrame) -> DataFrame:
+    """(__u = source term key, node, tord): ``path`` evaluated from the
+    fast base's subjects only.  A subject's reach set depends on nothing
+    but the subject, so restricting seeds to rows that can possibly
+    match (vs the general path's universe scan) changes no output —
+    closure paths build their doubling relation from the full graph
+    internally regardless of seeding (paths._full_step_relation)."""
+    from .paths import eval_path
+
+    seeds = base.selectExpr("skey AS __u", "focus AS node", "ord AS tord")
+    return eval_path(path, seeds, ["__u"], engine.triples)
 
 
 def _edges(engine, pred: str, inv: bool) -> DataFrame:
@@ -353,8 +389,11 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
         kind = plan[0]
         if kind in ("gather", "anyleaf"):
             continue
-        pred, inv = plan[1], plan[2]
-        e = _edges(engine, pred, inv)
+        if kind == "pathset":
+            e = None  # relation comes from the path evaluator
+        else:
+            pred, inv = plan[1], plan[2]
+            e = _edges(engine, pred, inv)
         if kind == "record":
             child = record_rel(engine, plan[3]).selectExpr(
                 f"fkey AS __ck{i}", f"__fval AS __cv{i}")
@@ -380,9 +419,16 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
                 f"CASE WHEN {ok} THEN "
                 f"concat({s_str(_jkey(prop))}, __cv{i}) END")
             join_specs.append((i, ok, frag))
-        elif kind in ("bigset", "bigsetrec"):
-            sshape: SetShape = plan[3]
-            if kind == "bigset":
+        elif kind in ("bigset", "bigsetrec", "pathset"):
+            sshape: SetShape = plan[2] if kind == "pathset" else plan[3]
+            if kind == "pathset":
+                leaf = plan[3]
+                fail_x, _ = engine._s_node_checks(leaf, "node")
+                vj = engine._s_node_value(leaf, "node")
+                ee = _path_rel(engine, plan[1], rel).selectExpr(
+                    "__u AS __ek", "tord AS __etid",
+                    f"CASE WHEN NOT ({fail_x}) THEN ({vj}) END AS __ev")
+            elif kind == "bigset":
                 leaf = plan[4]
                 fail_x, _ = engine._s_node_checks(leaf, "__eo")
                 vj = engine._s_node_value(leaf, "__eo")
@@ -406,7 +452,8 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
                 ).alias("__items"),
             ).selectExpr(
                 "__ek", "__nt", "__nm",
-                "concat('[', __items, ']') AS __sv",
+                f"concat('[', {_len_guard(engine, '__items', 'set')}, "
+                f"']') AS __sv",
             )
             agg = agg.selectExpr(
                 f"__ek AS __sk{i}", f"__nt AS __nt{i}",
@@ -460,7 +507,8 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
             ).selectExpr(
                 f"__ek AS __sk{i}", f"__nt AS __nt{i}",
                 f"__nm AS __nm{i}",
-                f"concat('{{', __body, '}}') AS __mv{i}",
+                f"concat('{{', {_len_guard(engine, '__body', 'map')}, "
+                f"'}}') AS __mv{i}",
             )
             rel = rel.join(agg, rel["skey"] == agg[f"__sk{i}"], "left") \
                 .drop(f"__sk{i}")

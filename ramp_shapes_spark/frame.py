@@ -154,7 +154,8 @@ class FrameEngine:
                  max_list_length: int = 10_000,
                  diagnostics: bool = True,
                  max_gather_degree: int = 1024,
-                 track_errors: bool = True) -> None:
+                 track_errors: bool = True,
+                 max_set_value_len: int = 32_000_000) -> None:
         """``diagnostics=False`` keeps the error channel's structure and
         codes but replaces the shape-STACK string expressions (the bulk
         of every compiled plan's expression text) with NULL — pipelines
@@ -179,6 +180,12 @@ class FrameEngine:
         self.max_fixpoint_iterations = max_fixpoint_iterations
         self.max_list_length = max_list_length
         self.max_gather_degree = max_gather_degree
+        # fast-tree set/map values serialize to ONE JSON string per
+        # subject (the set IS the value); a Zipf-head subject with
+        # millions of members would build a near-unbounded string inside
+        # an executor — fail loudly at this bound instead (same contract
+        # as cycles.MAX_RESIDUAL_PAIRS)
+        self.max_set_value_len = max_set_value_len
         self._site = 0
         self._errors: List[DataFrame] = []
         self._suppress_errors = False
@@ -241,11 +248,26 @@ class FrameEngine:
                 from . import fastframe
                 if fastframe.qualifies(self, shape0):
                     rel = fastframe.record_rel(self, root)
-                    matches = rel.selectExpr(
-                        "__ffocus AS focus", "__ford AS ord",
-                        "__fval AS value")
                     if ordered:
-                        matches = matches.orderBy("ord")
+                        # the relation's __ford is min tid AS SUBJECT;
+                        # the reference iterates candidates by first
+                        # appearance as subject OR object
+                        # (findAllCandidates) — re-attach the true
+                        # dataset order from the universe scan
+                        ord_map = all_candidate_terms(self.triples) \
+                            .select(
+                                F.expr(s_term_key("focus")).alias("__ok"),
+                                F.col("ord").alias("__oord"))
+                        matches = rel.join(
+                            ord_map, rel["fkey"] == ord_map["__ok"],
+                        ).selectExpr(
+                            "__ffocus AS focus", "__oord AS ord",
+                            "__fval AS value",
+                        ).orderBy("ord")
+                    else:
+                        matches = rel.selectExpr(
+                            "__ffocus AS focus", "__ford AS ord",
+                            "__fval AS value")
                     return FrameResult(
                         matches, lambda: self._empty(ERROR_FIELDS))
             uni = self.universe()
@@ -1296,22 +1318,31 @@ class FrameEngine:
             for _ in range(self.max_fixpoint_iterations):
                 new_fix: Dict[str, DataFrame] = {}
                 sigs: Dict[str, Tuple[int, int]] = {}
+                sig_parts: List[DataFrame] = []
                 for s in targets:
                     if isinstance(s, RecordShape):
                         res = self._compile_record(s, cand, groups, required=False)
                     else:
                         res = self._compile_list(s, cand, groups, required=False)
-                    # lazy checkpoint: the signature aggregate below is
-                    # the round's single job and materializes it
+                    # lazy checkpoint: the round's single batched
+                    # signature job below materializes it
                     gm = res.matches.select("fkey", "focus", "ord", "value") \
                         .localCheckpoint(eager=False)
                     new_fix[s.id.key()] = gm
-                    agg = gm.agg(
+                    sig_parts.append(gm.agg(
                         F.expr("count(1)").alias("n"),
                         F.expr("coalesce(bit_xor(xxhash64(fkey, value)), 0)")
                         .alias("h"),
-                    ).collect()[0]
-                    sigs[s.id.key()] = (agg["n"], agg["h"])
+                    ).selectExpr(f"{s_str(s.id.key())} AS k", "n", "h"))
+                # ONE driver action per round: the union of all target
+                # shapes' convergence aggregates (each a 1-row agg) —
+                # one job materializes every checkpoint instead of one
+                # job per shape per round
+                sig_all = sig_parts[0]
+                for part in sig_parts[1:]:
+                    sig_all = sig_all.unionAll(part)
+                for row in sig_all.collect():
+                    sigs[row["k"]] = (row["n"], row["h"])
                 self._fix.update(new_fix)
                 if sigs == prev_sig:
                     break

@@ -192,8 +192,11 @@ def eval_path(
             total = n
 
         # re-attach per-site keys; self pairs keep the site row's tord
-        back = df.select(*keys, term_key_col(F.col("node")).alias("__u"))
-        reached = back.join(r, "__u").select(*keys, "node", "tord")
+        # (distinct internal join name: callers may key on "__u")
+        back = df.select(*keys,
+                         term_key_col(F.col("node")).alias("__closure_src"))
+        rr = r.withColumnRenamed("__u", "__closure_src")
+        reached = back.join(rr, "__closure_src").select(*keys, "node", "tord")
         if include_self:
             reached = df.select(*keys, "node", "tord").unionAll(reached)
         return _dedup(reached, keys)

@@ -179,14 +179,15 @@ def run_pipeline(
     n_buckets: int = 16,
     input_fingerprint: str = "",
     hot_k: int = 64,
-    track_errors: bool = False,
+    track_errors: bool = True,
 ) -> PipelineResult:
-    """``track_errors=False`` (default) frames match-only: qualifying
-    shapes compile through the fast-tree path (one memoized relation
-    per record shape) and ``PipelineResult.frame_errors`` is empty by
-    construction.  Pass ``True`` to route malformed turns into the
-    coded error channel (the mode the P/R tests validate) at the cost
-    of the general compiler's per-site machinery."""
+    """``track_errors=True`` (default) routes malformed turns into the
+    coded error channel — ``PipelineResult.frame_errors`` keeps its
+    original contract for existing callers.  Performance-sensitive
+    callers (bench, scaling) pass ``False`` to frame match-only:
+    qualifying shapes then compile through the fast-tree path (one
+    memoized relation per record shape) and ``frame_errors`` is empty
+    BY CONSTRUCTION, not because the input was clean."""
     import threading
 
     scored = score_links(detect_mentions(turns))

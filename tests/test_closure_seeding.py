@@ -99,3 +99,73 @@ def test_closure_universe_unchanged(spark):
     rows = _values(engine.frame(node))
     assert len(rows) == 1
     assert sorted(rows[0]["reach"]) == ["c1", "c2", "c3"]
+
+
+def test_pathset_fast_route_parity(spark):
+    """track_errors=False routes leaf sets over composite paths through
+    the fast-tree pathset join; results must match the general compiler
+    row for row (values and set contents)."""
+    from ramp_shapes_spark.shapes import SELF_PATH, ZeroOrOnePath
+
+    triples = _chain_triples() + [
+        (iri("n"), EX + "label2", lit("m")),
+        (iri("c1"), EX + "label", lit("c1")),
+    ]
+
+    def shape(b):
+        return b.record(
+            EX + "Node",
+            type_properties=[],
+            properties=[
+                prop("id", SELF_PATH, b.resource(only_named=True)),
+                prop("label", EX + "label", b.literal(datatype=XSD_STRING)),
+                prop("reach",
+                     OneOrMorePath(PredicatePath(EX + "next")),
+                     b.set_of(b.resource(only_named=True))),
+                prop("maybe_next",
+                     ZeroOrOnePath(PredicatePath(EX + "next")),
+                     b.set_of(b.resource(only_named=True))),
+            ],
+        )
+
+    results = {}
+    for fast in (False, True):
+        b = ShapeBuilder()
+        node = shape(b)
+        engine = FrameEngine(spark, b.catalog, triples_df(spark, triples),
+                             track_errors=not fast)
+        res = engine.frame(node)
+        results[fast] = sorted(
+            (json.loads(r["value"])["id"],
+             sorted(json.loads(r["value"])["reach"]),
+             sorted(json.loads(r["value"])["maybe_next"]))
+            for r in res.matches.collect())
+    assert results[True] == results[False]
+    assert len(results[True]) == 2  # n and c1 carry labels
+
+
+def test_fast_root_ordered_parity(spark):
+    """ordered=True on the fast root must follow findAllCandidates order
+    (first appearance as subject OR object) — here `b` appears first as
+    an OBJECT, so it precedes `c` even though its subject triples come
+    later."""
+    triples = [
+        (iri("x"), EX + "ref", iri("b")),      # tid 0: b first, as object
+        (iri("c"), EX + "label", lit("c")),    # tid 1
+        (iri("b"), EX + "label", lit("b")),    # tid 2
+    ]
+
+    def run(track_errors):
+        b = ShapeBuilder()
+        node = b.record(
+            EX + "Node",
+            properties=[prop("label", EX + "label",
+                             b.literal(datatype=XSD_STRING))],
+        )
+        engine = FrameEngine(spark, b.catalog, triples_df(spark, triples),
+                             track_errors=track_errors)
+        res = engine.frame(node, ordered=True)
+        return [json.loads(r["value"])["label"]
+                for r in res.matches.collect()]
+
+    assert run(False) == run(True) == ["b", "c"]

@@ -96,3 +96,51 @@ def test_hot_unbounded_set_uses_join_path(spark):
     vals = [json.loads(r["value"]) for r in res.matches.collect()]
     assert len(vals) == 1
     assert len(vals[0]["all"]) == N_HOT
+
+
+def test_hot_subject_set_value_guard(spark):
+    """A hub subject whose SET value serializes past max_set_value_len
+    must raise a clean error (never a silent executor OOM) on the
+    fast-tree path; a generous bound frames the same set fine."""
+    import pytest
+
+    n = 1_000_000
+    term = "struct<kind:string,value:string,dt:string,lang:string>"
+    spam = spark.range(n).selectExpr(
+        "id AS tid",
+        "named_struct('kind','iri','value','hot','dt',CAST(NULL AS STRING),"
+        "'lang',CAST(NULL AS STRING)) AS s",
+        f"'{EX}spam' AS p",
+        "named_struct('kind','iri','value',concat('o',CAST(id AS STRING)),"
+        "'dt',CAST(NULL AS STRING),'lang',CAST(NULL AS STRING)) AS o",
+    )
+    base = spark.createDataFrame(
+        [(2_000_000, ("iri", "hot", None, None), EX + "name",
+          ("lit", "hotname", "http://www.w3.org/2001/XMLSchema#string",
+           None))],
+        f"tid long, s {term}, p string, o {term}",
+    )
+    triples = spam.unionAll(base)
+
+    def make_engine(max_len):
+        b = ShapeBuilder()
+        thing = b.record(
+            EX + "Thing",
+            properties=[
+                prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+                prop("all", EX + "spam",
+                     b.set_of(b.resource(only_named=True))),
+            ],
+        )
+        return FrameEngine(spark, b.catalog, triples, diagnostics=False,
+                           track_errors=False,
+                           max_set_value_len=max_len), thing
+
+    engine, thing = make_engine(100_000)
+    with pytest.raises(Exception, match="max_set_value_len"):
+        engine.frame(thing).matches.collect()
+
+    engine, thing = make_engine(100_000_000)
+    rows = [json.loads(r["value"]) for r in engine.frame(thing)
+            .matches.collect()]
+    assert len(rows) == 1 and len(rows[0]["all"]) == n
