@@ -145,6 +145,29 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
             stats["rounds"] = 0
         return _driver_cc(cur)
 
+    # encode node ids to LONGs for the loop: every star round shuffles
+    # the full edge multiset several times, and an 8-byte key halves-to-
+    # thirds the exchange bytes and makes min()/sort comparisons O(1)
+    # vs per-character.  monotonically_increasing_id is nondeterministic
+    # under recomputation → the id map MUST be pinned eagerly before the
+    # two encode joins read it.
+    nodes = (
+        cur.select(F.col("src").alias("node"))
+        .unionAll(cur.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("nid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        cur.join(nodes.hint("shuffle_hash"),
+                 F.col("src") == F.col("node"))
+        .select(F.col("nid").alias("__s"), "dst")
+        .join(nodes.hint("shuffle_hash"),
+              F.col("dst") == F.col("node"))
+        .select(F.col("__s").alias("src"), F.col("nid").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+
     # hot set: top-K degrees of the INPUT graph, computed once
     hot_nodes = None
     if hot_k > 0:
@@ -154,11 +177,15 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
         )
         if hot_rows:
             hot_nodes = edges.sparkSession.createDataFrame(
-                [(r["n"],) for r in hot_rows], "n string")
+                [(r["n"],) for r in hot_rows], "n long")
 
+    import time as _time
+    round_secs: list = []
+    round_edges: list = []
     prev_sig = None
     rounds = 0
     for _ in range(MAX_ROUNDS):
+        _t0 = _time.time()
         rounds += 1
         nbrs = _nbrs(cur)
         minn = _min_nbr(nbrs)
@@ -181,22 +208,50 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
             F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
+        round_secs.append(round(_time.time() - _t0, 2))
+        round_edges.append(sig[0])
+        if __import__("os").environ.get("SPARK_GRAFT_CC_DEBUG"):
+            print(f"[cc] round {rounds}: {round_secs[-1]}s "
+                  f"edges={sig[0]}", flush=True)
         if sig == prev_sig:
             break
         prev_sig = sig
+        # REFRESH the hot set from this round's output: star rounds
+        # concentrate degree onto component minima (every member edge
+        # points at the min), so the input graph's top-K stops covering
+        # the skew after round 1 — measured 22s → 89s/round on the
+        # 10^7-edge Zipf graph when the round-2+ hubs miss the broadcast
+        # map.  cur is already materialized (the signature job above),
+        # so this is one cheap aggregation, not a join-tree recompute.
+        if hot_k > 0:
+            hot_rows = (
+                cur.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+                .orderBy(F.desc("deg"), "dst").limit(hot_k)
+                .select(F.col("dst").alias("n")).collect()
+            )
+            hot_nodes = (
+                edges.sparkSession.createDataFrame(
+                    [(r["n"],) for r in hot_rows], "n long")
+                if hot_rows else None
+            )
     else:
         raise RuntimeError("connected components did not converge")
     if stats is not None:
         stats["rounds"] = rounds
+        stats["round_secs"] = round_secs
+        stats["round_edges"] = round_edges
 
-    # after convergence every edge points to the component minimum
-    members = cur.select(F.col("src").alias("node"),
-                         F.col("dst").alias("component"))
-    roots = cur.select(F.col("dst").alias("node"),
-                       F.col("dst").alias("component"))
-    return members.unionAll(roots).groupBy("node").agg(
-        F.min("component").alias("component")
-    )
+    # after convergence every edge points to the component's minimum
+    # LONG id; decode ids and restore the public contract (component =
+    # lexicographic minimum node STRING) with one rep aggregation
+    members = cur.select(F.col("src").alias("n"),
+                         F.col("dst").alias("c"))
+    roots = cur.select(F.col("dst").alias("n"), F.col("dst").alias("c"))
+    cc_l = members.unionAll(roots).groupBy("n").agg(F.min("c").alias("c"))
+    named = cc_l.join(nodes, cc_l["n"] == nodes["nid"]) \
+        .select("node", "c")
+    reps = named.groupBy("c").agg(F.min("node").alias("component"))
+    return named.join(reps, "c").select("node", "component")
 
 
 def canonical_entity_map(link_edges: DataFrame, hot_k: int = 64,

@@ -157,3 +157,36 @@ def test_materialize_resume(spark, turns, tmp_path):
     res3 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1")
     assert res3.metrics["written_buckets"] == 2
     assert res3.metrics["resumed_buckets"] == 14
+
+
+def test_connected_components_distributed_long_ids(spark):
+    """Force the distributed star loop (driver_threshold=0) and check it
+    matches the driver union-find, including the public contract that
+    component = lexicographic MINIMUM node string (the loop itself runs
+    on encoded long ids)."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    # 40 chains of length 6 with string ids that sort differently from
+    # their creation order, plus a Zipf-ish hub
+    for c in range(40):
+        ns = [f"x{rng.randrange(10**6):06d}c{c}" for _ in range(6)]
+        edges += list(zip(ns, ns[1:]))
+    hub = "hub000"
+    edges += [(hub, f"x{rng.randrange(10**6):06d}c{c}") for c in range(0, 40, 4)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats = {}
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               df, hot_k=4, stats=stats, driver_threshold=0).collect()}
+    want = {r["node"]: r["component"]
+            for r in connected_components(df).collect()}
+    assert stats["rounds"] >= 1
+    assert got == want
+    # the representative is the min string of each component
+    comps = {}
+    for n, c in got.items():
+        comps.setdefault(c, []).append(n)
+    for c, members in comps.items():
+        assert c == min(members + [c])
