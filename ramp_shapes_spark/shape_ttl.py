@@ -241,10 +241,22 @@ def _build_shape(g: _Graph, sid: ShapeID, kind: str) -> Shape:
             keep_as_term=g.boolean(sid, _r("keepAsTerm")),
         )
     if kind == "anyOf":
-        return AnyOfShape(
-            id=sid, lenient=lenient,
-            variants=tuple(g.objects(sid, _r("variant"))),
-        )
+        # canonical variant order = the order the self-hosted
+        # shapes-for-shapes loader produces, which is reference-exact:
+        # frameAnyOf iterates the ramp:Shape meta-union's variants OUTER
+        # and candidates inner (frame.ts:390-427), so members group by
+        # meta-union position (Record, AnyOf, Set, Optional, Resource,
+        # Literal, List, Map) and keep declaration order within a group
+        rank = {"record": 0, "anyOf": 1, "set": 2, "optional": 3,
+                "resource": 4, "literal": 5, "list": 6, "map": 7}
+
+        def _kind_rank(v: Term) -> int:
+            t = g.one(v, RDF_TYPE)
+            k = SHAPE_TYPES.get(t.value) if t is not None else None
+            return rank.get(k, len(rank))
+
+        variants = sorted(g.objects(sid, _r("variant")), key=_kind_rank)
+        return AnyOfShape(id=sid, lenient=lenient, variants=tuple(variants))
     if kind == "set":
         return SetShape(
             id=sid, lenient=lenient,

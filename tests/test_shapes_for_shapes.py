@@ -71,14 +71,11 @@ def norm_framed(v):
                   for c in v.get("computedProperties", [])),
         )
     elif kind == "anyOf":
-        # KNOWN ordering divergence (discovered by this detector): the
-        # self-hosted route collects `ramp:variant` members in
-        # META-UNION VARIANT-MAJOR order — reference-exact, because
-        # frameAnyOf iterates the ramp:Shape union's variants outer and
-        # candidates inner (frame.ts:390-427) — while shape_ttl keeps
-        # Turtle declaration order.  Both orders pass every golden
-        # fixture, so variants compare order-insensitively here.
-        body = tuple(sorted(_tk(x["id"]) for x in v["variants"]))
+        # ORDER-SENSITIVE since round 4: both loaders canonicalize to
+        # the reference-exact META-UNION VARIANT-MAJOR order (frameAnyOf
+        # iterates the ramp:Shape union's variants outer and candidates
+        # inner, frame.ts:390-427; shape_ttl sorts by meta-union rank)
+        body = tuple(_tk(x["id"]) for x in v["variants"])
     elif kind == "set":
         body = (_tk(v["itemShape"]["id"]), _p(v.get("minCount")),
                 _p(v.get("maxCount")))
@@ -152,7 +149,7 @@ def norm_shape(s):
         )
         kind = "record"
     elif isinstance(s, AnyOfShape):
-        body = tuple(sorted(v.key() for v in s.variants))
+        body = tuple(v.key() for v in s.variants)  # order-sensitive
         kind = "anyOf"
     elif isinstance(s, SetShape):
         body = (s.item_shape.key(), s.min_count, s.max_count)
