@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from ramp_shapes_spark.pipeline.run import run_pipeline
 
     turns = generate_transcripts(spark, 40, n_entities=64, partitions=4)
-    result = run_pipeline(spark, turns)
+    result = run_pipeline(spark, turns, track_errors=False)
     from ramp_shapes_spark.pipeline.materialize import triple_flat_view
     return triple_flat_view(result.triples)
 

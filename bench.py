@@ -73,7 +73,7 @@ def main() -> None:
     pipe_times = []
     for _ in range(n_reps):
         t0 = time.time()
-        result = run_pipeline(spark, turns)
+        result = run_pipeline(spark, turns, track_errors=False)
         n_triples = result.triples.count()
         pipe_times.append(time.time() - t0)
     pipe_t = min(pipe_times)
@@ -81,6 +81,10 @@ def main() -> None:
 
     # -- operator surface (min-of-N wall time per query) ---------------
     allq = entrymod.queries()
+    # the FULL queries() surface (== the CORRECTNESS query set), in a
+    # stable order; ann_ivf_kmeans_topk is the real IVF (Lloyd k-means +
+    # nprobe multi-probe) — ann_ivf_topk is the legacy label-probe
+    # variant, kept for comparison
     for name in [
         "frame_supplier_record", "frame_nation_suppliers_set",
         "frame_order_optional_union", "frame_map_nations",
@@ -88,10 +92,13 @@ def main() -> None:
         "path_sequence_region", "path_closure_chain", "path_one_or_more",
         "path_zero_or_one", "path_alternative_places",
         "flatten_roundtrip_counts", "flatten_relational_counts",
-        "dedup_exact", "minhash_pairs", "minhash_banded_pairs",
-        "simhash", "token_stats", "quality_score", "lang_guess",
-        "doc_fingerprint",
-        "ann_brute_topk", "ann_ivf_topk", "cosine_dup_pairs",
+        "flatten_list_counts", "kg_turn_records",
+        "dedup_exact", "minhash_signature", "minhash_pairs",
+        "minhash_banded_pairs", "ngram_jaccard_pairs",
+        "simhash", "simhash64", "token_stats", "quality_score",
+        "lang_guess", "doc_fingerprint",
+        "ann_brute_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
+        "cosine_dup_pairs",
         "cc_customer_chains", "events_sessions",
     ]:
         best = None

@@ -80,9 +80,9 @@ n_turns = turns.count()
 # inside the timed window
 warm = generate_transcripts(spark, 1000, n_entities=2000,
                             partitions=%(parts)d).localCheckpoint(eager=True)
-run_pipeline(spark, warm).triples.count()
+run_pipeline(spark, warm, track_errors=False).triples.count()
 t0 = time.time()
-result = run_pipeline(spark, turns)
+result = run_pipeline(spark, turns, track_errors=False)
 n_triples = result.triples.count()
 wall = time.time() - t0
 json.dump({"cpus": int(cpus), "n_turns": n_turns,
