@@ -1,31 +1,29 @@
 """Entity canonicalization: connected components over candidate-link
 edges, with explicit skew defenses.
 
-Algorithm: alternating **large-star / small-star** (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
-O(log n) rounds of groupBy/join, each expressible as DataFrame ops, far
-fewer rounds than naive label propagation on high-diameter graphs.  On
-the mention↔entity bipartite graphs this pipeline produces, components
-are star-shaped and it converges in 2-3 rounds.
+Algorithm: **contraction with pointer jumping** (the logarithmic-round
+MapReduce CC family of Rastogi et al., ICDE'13, and Kiveris et al.,
+SoCC'14).  Each phase builds the min-parent forest parent(n) = min(n,
+min neighbor), pointer-jumps every node to its forest root in
+⌈log₂ depth⌉ narrow self-joins, then contracts the edge set through
+the root map and recurses on the root graph — which is orders of
+magnitude smaller after one phase on skewed graphs.
 
 Skew defenses (the Zipf head entity can carry a double-digit share of
 all edges):
 
-* min-neighbor aggregation is a ``groupBy().min()`` — Spark's partial
-  (map-side) aggregation already collapses hot keys before shuffle;
-* the per-round neighbor join broadcasts a **hot-node dictionary**: the
-  top-K highest-degree nodes' current minima ship as a broadcast map,
-  so hot-key rows resolve map-side and never shuffle.  The hot *set*
-  (which node ids are hot) is derived ONCE from the input edge degrees
-  before the loop — star rounds only shrink a node's neighborhood, so
-  the initial top-K covers every later round's skew — and only the
-  per-round minima lookup for that fixed set runs inside the loop;
-* AQE skew-join splitting stays on for the residual joins (the engine
-  never touches session confs).
+* the only per-node aggregation is ``groupBy().min()`` — Spark's
+  partial (map-side) aggregation collapses hot keys before shuffle;
+* every join in the loop is N:1 against a functional map (one row per
+  node), so no join can explode rows; AQE skew-join splitting handles
+  residual reducer imbalance (the engine never touches session confs);
+* mention↔entity bipartite graphs contract to (near) nothing in one
+  phase: every mention's parent is its entity's minimum directly.
 
-Driver loop cost: exactly ONE action per round — the convergence
-signature aggregate, which also materializes that round's lazy
-``localCheckpoint`` (lineage cut and convergence probe share a job).
+Driver loop cost: exactly ONE action per jump round (the changed-row
+count) and one per phase (surviving-edge count); each action also
+materializes that step's lazy ``localCheckpoint`` (lineage cut and
+convergence probe share a job).
 """
 
 from __future__ import annotations
@@ -59,37 +57,57 @@ def _min_nbr(nbrs: DataFrame) -> DataFrame:
     )
 
 
-def _apply_star(nbrs: DataFrame, minn: DataFrame, large: bool,
-                hot_nodes: DataFrame | None,
-                dedup: bool = True) -> DataFrame:
-    """One star round: connect (a subset of) neighbors to the group
-    minimum.  Hot nodes' minima resolve via a broadcast map-join (no
-    shuffle on the hot keys); the residual join shuffles on ``n`` with
-    the hot rows removed, so the Zipf head never lands on one reducer."""
-    cond = (F.col("x") > F.col("n")) if large else (F.col("x") < F.col("n"))
-    part = nbrs.filter(cond)
+def _jump_to_roots(parent: DataFrame, round_secs: list) -> DataFrame:
+    """(n, r): the root of every node in a min-parent forest, by
+    pointer jumping — r <- r(r(n)) until fixpoint.
 
-    if hot_nodes is not None:
-        hot_minn = F.broadcast(minn.join(hot_nodes, "n").select("n", "m"))
-        resolved = part.join(
-            hot_minn.withColumnRenamed("n", "__hn").withColumnRenamed("m", "__hm"),
-            F.col("n") == F.col("__hn"),
-        ).select(F.col("x").alias("src"), F.col("__hm").alias("dst"))
-        rest = part.join(F.broadcast(hot_nodes), "n", "left_anti")
-    else:
-        resolved = None
-        rest = part
+    ``parent`` is functional (one row per node) and decreasing
+    (m <= n), so each jump is an N:1 equi-join with no row explosion,
+    and ⌈log₂(max tree depth)⌉ + 1 rounds suffice.  Each round runs
+    exactly ONE action: the changed-row count, which also materializes
+    the round's lazy checkpoint.
 
-    joined = rest.join(
-        minn.withColumnRenamed("n", "__jn"), F.col("n") == F.col("__jn")
-    ).select(F.col("x").alias("src"), F.col("m").alias("dst"))
-    out = joined if resolved is None else joined.unionAll(resolved)
-    if not large:
-        out = out.unionAll(
-            minn.select(F.col("n").alias("src"), F.col("m").alias("dst"))
+    **Frontier optimization**: a row whose target didn't move points at
+    a fixpoint of the map — a root — and can never change again, so
+    only the changed rows stay in the join's left side.  The active
+    set shrinks geometrically (most mass sits 1-2 hops from a root on
+    skewed graphs); once it's small, its distinct lookup keys
+    broadcast-semi-prune the map side too, so late rounds scan the big
+    checkpointed map map-side instead of re-shuffling all of it."""
+    import time as _time
+
+    done_parts: list = []
+    active = parent.select("n", F.col("m").alias("r"))
+    n_active = None
+    for _ in range(MAX_ROUNDS):
+        _t0 = _time.time()
+        full = active
+        for part in done_parts:
+            full = full.unionAll(part)
+        right = full.selectExpr("n AS __n2", "r AS __r2")
+        if n_active is not None and n_active <= 1_000_000:
+            keys = active.select(F.col("r").alias("__n2")).distinct()
+            right = right.join(F.broadcast(keys), "__n2", "leftsemi")
+        nxt = (
+            active.join(right, F.col("r") == F.col("__n2"))
+            .select(F.col("n"),
+                    (F.col("__r2") != F.col("r")).alias("__chg"),
+                    F.col("__r2").alias("r"))
+            .localCheckpoint(eager=False)
         )
-    out = out.filter(F.col("src") != F.col("dst"))
-    return out.distinct() if dedup else out
+        n_active = nxt.agg(
+            F.coalesce(F.sum(F.col("__chg").cast("long")), F.lit(0))
+        ).collect()[0][0]
+        done_parts.append(nxt.filter(~F.col("__chg")).select("n", "r"))
+        active = nxt.filter(F.col("__chg")).select("n", "r")
+        round_secs.append(round(_time.time() - _t0, 2))
+        if n_active == 0:
+            out = done_parts[0]
+            for part in done_parts[1:]:
+                out = out.unionAll(part)
+            return out
+    raise RuntimeError("pointer jumping did not converge")
+
 
 
 def _union_find(edges: DataFrame) -> dict:
@@ -132,126 +150,106 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
     """(node, component) for every node in ``edges`` (src/dst string
     columns); component = lexicographic minimum of the component.
 
-    Pass a dict as ``stats`` to receive ``{"rounds": n}`` (each round =
-    one large-star + one small-star pass).  Graphs at or below
-    ``driver_threshold`` edges short-circuit to driver-side union-find
-    (the star rounds are pure scheduling overhead there); pass 0 to
-    force the distributed path."""
+    Distributed algorithm: **contraction** (Rastogi et al., "Finding
+    Connected Components in Map-Reduce in Logarithmic Rounds", ICDE'13
+    family).  Each phase (a) builds the min-parent forest parent(n) =
+    min(n, min neighbor) — one map-side-combined groupBy, so Zipf-head
+    hubs collapse before the shuffle; (b) pointer-jumps every node to
+    its forest root in ⌈log₂ depth⌉ narrow self-joins; (c) contracts
+    the edge set through the root map and recurses on the (much
+    smaller) root graph.  A Zipf-skewed 10⁷-edge graph contracts to
+    under ``driver_threshold`` in 1-2 phases, vs ~11 alternating
+    large-/small-star rounds of 4-5 full-width shuffles each — the
+    phase joins are all N:1 (no explosion), need no hot-key broadcast,
+    and every action per round is a count.
+
+    ``hot_k`` is retained for API compatibility; the contraction path
+    needs no hot-node dictionary (partial aggregation absorbs skew).
+    Graphs at or below ``driver_threshold`` edges (initially or after
+    any contraction) finish on the driver via union-find; pass 0 to
+    force full distributed convergence.
+
+    Pass a dict as ``stats`` to receive ``{"rounds", "phases",
+    "round_secs", "round_edges"}`` (rounds = total pointer-jump rounds
+    across phases; round_edges = surviving edges after each phase)."""
+    import time as _time
+
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
         .distinct().localCheckpoint(eager=False)
     n_edges = cur.count()  # materializes the deduped checkpoint
     if driver_threshold > 0 and n_edges <= driver_threshold:
         if stats is not None:
             stats["rounds"] = 0
+            stats["phases"] = 0
         return _driver_cc(cur)
 
-    # encode node ids to LONGs for the loop: every star round shuffles
-    # the full edge multiset several times, and an 8-byte key halves-to-
-    # thirds the exchange bytes and makes min()/sort comparisons O(1)
-    # vs per-character.  monotonically_increasing_id is nondeterministic
-    # under recomputation → the id map MUST be pinned eagerly before the
-    # two encode joins read it.
-    nodes = (
-        cur.select(F.col("src").alias("node"))
-        .unionAll(cur.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("nid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
-    cur = (
-        cur.join(nodes.hint("shuffle_hash"),
-                 F.col("src") == F.col("node"))
-        .select(F.col("nid").alias("__s"), "dst")
-        .join(nodes.hint("shuffle_hash"),
-              F.col("dst") == F.col("node"))
-        .select(F.col("__s").alias("src"), F.col("nid").alias("dst"))
-        .localCheckpoint(eager=False)
-    )
-
-    # hot set: top-K degrees of the INPUT graph, computed once
-    hot_nodes = None
-    if hot_k > 0:
-        hot_rows = (
-            _nbrs(cur).groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
-            .orderBy(F.desc("deg"), "n").limit(hot_k).select("n").collect()
-        )
-        if hot_rows:
-            hot_nodes = edges.sparkSession.createDataFrame(
-                [(r["n"],) for r in hot_rows], "n long")
-
-    import time as _time
-    round_secs: list = []
-    round_edges: list = []
-    prev_sig = None
-    rounds = 0
-    for _ in range(MAX_ROUNDS):
+    spark = edges.sparkSession
+    mapping = None          # (n, r): original node -> current root
+    jump_secs: list = []
+    phase_secs: list = []
+    phase_edges: list = []
+    comp_small: dict | None = None
+    for _phase in range(MAX_ROUNDS):
         _t0 = _time.time()
-        rounds += 1
-        nbrs = _nbrs(cur)
-        minn = _min_nbr(nbrs)
-        # materialize the large-star half: small-star reads it TWICE
-        # (neighbor build + min aggregation) — without the checkpoint
-        # the whole large-star join tree is recomputed for both reads.
-        # Skip its dedup: every small-star consumer is duplicate-
-        # tolerant and the small-star round ends in a distinct anyway.
-        large = _apply_star(nbrs, minn, large=True, hot_nodes=hot_nodes,
-                            dedup=False).localCheckpoint(eager=False)
-        nbrs = _nbrs(large)
-        minn = _min_nbr(nbrs)
-        # lazy checkpoint: the signature aggregate below materializes
-        # it; the distinct's shuffle re-buckets to a fixed width, so
-        # partition counts cannot drift across rounds
-        cur = _apply_star(nbrs, minn, large=False, hot_nodes=hot_nodes) \
-            .localCheckpoint(eager=False)
-        sig = cur.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
-        round_secs.append(round(_time.time() - _t0, 2))
-        round_edges.append(sig[0])
+        parent = _min_nbr(_nbrs(cur)).localCheckpoint(eager=False)
+        root = _jump_to_roots(parent, jump_secs)
+        if mapping is None:
+            mapping = root
+        else:
+            # singleton roots (no surviving edges last phase) are
+            # absent from this phase's forest -> left join + coalesce
+            mapping = (
+                mapping.join(
+                    root.selectExpr("n AS __rn", "r AS __rr"),
+                    mapping["r"] == F.col("__rn"), "left")
+                .select("n", F.coalesce("__rr", "r").alias("r"))
+            )
+        mapping = mapping.localCheckpoint(eager=False)
+        cur = (
+            cur.join(root.selectExpr("n AS __sn", "r AS __sr"),
+                     F.col("src") == F.col("__sn"))
+            .select(F.col("__sr").alias("src"), "dst")
+            .join(root.selectExpr("n AS __dn", "r AS __dr"),
+                  F.col("dst") == F.col("__dn"))
+            .select("src", F.col("__dr").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct().localCheckpoint(eager=False)
+        )
+        n_edges = cur.count()
+        phase_secs.append(round(_time.time() - _t0, 2))
+        phase_edges.append(n_edges)
         if __import__("os").environ.get("SPARK_GRAFT_CC_DEBUG"):
-            print(f"[cc] round {rounds}: {round_secs[-1]}s "
-                  f"edges={sig[0]}", flush=True)
-        if sig == prev_sig:
+            print(f"[cc] phase {_phase + 1}: {phase_secs[-1]}s "
+                  f"edges={n_edges} jumps={len(jump_secs)}", flush=True)
+        if n_edges == 0:
             break
-        prev_sig = sig
-        # REFRESH the hot set from this round's output: star rounds
-        # concentrate degree onto component minima (every member edge
-        # points at the min), so the input graph's top-K stops covering
-        # the skew after round 1 — measured 22s → 89s/round on the
-        # 10^7-edge Zipf graph when the round-2+ hubs miss the broadcast
-        # map.  cur is already materialized (the signature job above),
-        # so this is one cheap aggregation, not a join-tree recompute.
-        if hot_k > 0:
-            hot_rows = (
-                cur.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
-                .orderBy(F.desc("deg"), "dst").limit(hot_k)
-                .select(F.col("dst").alias("n")).collect()
-            )
-            hot_nodes = (
-                edges.sparkSession.createDataFrame(
-                    [(r["n"],) for r in hot_rows], "n long")
-                if hot_rows else None
-            )
+        if driver_threshold > 0 and n_edges <= driver_threshold:
+            comp_small = _union_find(cur)
+            break
     else:
         raise RuntimeError("connected components did not converge")
-    if stats is not None:
-        stats["rounds"] = rounds
-        stats["round_secs"] = round_secs
-        stats["round_edges"] = round_edges
 
-    # after convergence every edge points to the component's minimum
-    # LONG id; decode ids and restore the public contract (component =
-    # lexicographic minimum node STRING) with one rep aggregation
-    members = cur.select(F.col("src").alias("n"),
-                         F.col("dst").alias("c"))
-    roots = cur.select(F.col("dst").alias("n"), F.col("dst").alias("c"))
-    cc_l = members.unionAll(roots).groupBy("n").agg(F.min("c").alias("c"))
-    named = cc_l.join(nodes, cc_l["n"] == nodes["nid"]) \
-        .select("node", "c")
-    reps = named.groupBy("c").agg(F.min("node").alias("component"))
-    return named.join(reps, "c").select("node", "component")
+    if stats is not None:
+        stats["rounds"] = len(jump_secs)
+        stats["phases"] = len(phase_secs)
+        stats["round_secs"] = phase_secs
+        stats["round_edges"] = phase_edges
+
+    result = mapping.select(F.col("n").alias("node"),
+                            F.col("r").alias("component"))
+    if comp_small:
+        # residual roots resolved on the driver: small broadcast map,
+        # roots not in it are already component minima
+        cm = spark.createDataFrame(
+            list(comp_small.items()), "rt string, comp string")
+        result = (
+            result.join(F.broadcast(cm),
+                        result["component"] == cm["rt"], "left")
+            .select("node",
+                    F.coalesce("comp", "component").alias("component"))
+        )
+    return result
+
 
 
 def canonical_entity_map(link_edges: DataFrame, hot_k: int = 64,

@@ -159,11 +159,10 @@ def test_materialize_resume(spark, turns, tmp_path):
     assert res3.metrics["resumed_buckets"] == 14
 
 
-def test_connected_components_distributed_long_ids(spark):
-    """Force the distributed star loop (driver_threshold=0) and check it
-    matches the driver union-find, including the public contract that
-    component = lexicographic MINIMUM node string (the loop itself runs
-    on encoded long ids)."""
+def test_connected_components_distributed(spark):
+    """Force the distributed contraction path (driver_threshold=0) and
+    check it matches the driver union-find, including the public
+    contract that component = lexicographic MINIMUM node string."""
     import random
 
     rng = random.Random(7)
