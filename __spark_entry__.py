@@ -118,6 +118,17 @@ def q_cosine_dups(spark, sf_dir):
     return cosine_dup_pairs(_emb(spark, sf_dir), threshold_x10k=3000)
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL image decode, end to end: encode a BMP/PPM payload per
+    document (distributed, Arrow-batched), decode it back, and report
+    dimensions + byte size + the exact green-channel pixel sum — every
+    column re-derivable in closed form by the SQL oracle."""
+    from ramp_shapes_spark.ops.multimodal import (
+        decode_images, synthesize_bmp_media,
+    )
+    return decode_images(synthesize_bmp_media(_docs(spark, sf_dir)))
+
+
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -216,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans,
         "simhash64": q_simhash64,
         "cosine_dup_pairs": q_cosine_dups,
+        "media_decode_dims": q_media_decode,
         "events_sessions": q_events_sessions,
         # iterative / pipeline (cc has an oracle via chain structure)
         "cc_customer_chains": q_cc_customer_chains,
@@ -431,6 +443,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_sql(),
         "simhash64": _simhash64_sql(),
+        # every column of the REAL decode has a closed form under the
+        # synthesis rule (w = 16 + id%49, h = 16 + id%33, gray pixel
+        # (x,y) = x + y, even id -> 24-bit BMP, odd id -> binary P6 PPM)
+        "media_decode_dims": """
+            SELECT 'img' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END
+                     AS fmt,
+                   CAST(16 + doc_id % 49 AS INTEGER) AS width,
+                   CAST(16 + doc_id % 33 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                     THEN 54 + (16 + doc_id % 33)
+                          * ((3 * (16 + doc_id % 49) + 3) // 4 * 4)
+                     ELSE 9
+                          + length(CAST(16 + doc_id % 49 AS VARCHAR))
+                          + length(CAST(16 + doc_id % 33 AS VARCHAR))
+                          + 3 * (16 + doc_id % 49) * (16 + doc_id % 33)
+                     END AS BIGINT) AS n_bytes,
+                   CAST((16 + doc_id % 49) * (16 + doc_id % 33)
+                        * ((16 + doc_id % 49) + (16 + doc_id % 33) - 2)
+                        // 2 AS BIGINT) AS sum_lum
+            FROM documents
+        """,
         "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "kg_turn_records": f"""
             SELECT 'turn:' || conv_id || ':' || CAST(turn_idx AS VARCHAR)

@@ -98,7 +98,7 @@ def main() -> None:
         "simhash", "simhash64", "token_stats", "quality_score",
         "lang_guess", "doc_fingerprint",
         "ann_brute_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
-        "cosine_dup_pairs",
+        "cosine_dup_pairs", "media_decode_dims",
         "cc_customer_chains", "events_sessions",
     ]:
         best = None
