@@ -208,7 +208,7 @@ _FOCUS_SQL = (
 )
 
 
-def _len_guard(engine, col: str, what: str) -> str:
+def _len_guard(engine, col: str, what: str, key: str = "__ek") -> str:
     """Fail LOUDLY (raise_error) when a single subject's serialized
     set/map value exceeds ``engine.max_set_value_len`` — a hub subject
     must produce a clean error, never a silent executor OOM."""
@@ -216,22 +216,9 @@ def _len_guard(engine, col: str, what: str) -> str:
     return (
         f"CASE WHEN length({col}) > {mx} THEN CAST(raise_error(concat("
         f"'fast-tree {what} value exceeds max_set_value_len={mx} "
-        f"serialized bytes for subject key ', __ek)) AS STRING) "
+        f"serialized bytes for subject key ', {key})) AS STRING) "
         f"ELSE {col} END"
     )
-
-
-def _path_rel(engine, path, base: DataFrame) -> DataFrame:
-    """(__u = source term key, node, tord): ``path`` evaluated from the
-    fast base's subjects only.  A subject's reach set depends on nothing
-    but the subject, so restricting seeds to rows that can possibly
-    match (vs the general path's universe scan) changes no output —
-    closure paths build their doubling relation from the full graph
-    internally regardless of seeding (paths._full_step_relation)."""
-    from .paths import eval_path
-
-    seeds = base.selectExpr("skey AS __u", "focus AS node", "ord AS tord")
-    return eval_path(path, seeds, ["__u"], engine.triples)
 
 
 def _edges(engine, pred: str, inv: bool) -> DataFrame:
@@ -390,7 +377,7 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
         if kind in ("gather", "anyleaf"):
             continue
         if kind == "pathset":
-            e = None  # relation comes from the path evaluator
+            e = None  # relation comes from the universal path evaluator
         else:
             pred, inv = plan[1], plan[2]
             e = _edges(engine, pred, inv)
@@ -419,16 +406,94 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
                 f"CASE WHEN {ok} THEN "
                 f"concat({s_str(_jkey(prop))}, __cv{i}) END")
             join_specs.append((i, ok, frag))
-        elif kind in ("bigset", "bigsetrec", "pathset"):
-            sshape: SetShape = plan[2] if kind == "pathset" else plan[3]
-            if kind == "pathset":
-                leaf = plan[3]
+        elif kind == "pathset":
+            # leaf set over a composite path: the UNIVERSAL keyed path
+            # relation (no seed join — extra sources fall out of the
+            # left join back to sites) feeds one groupBy; the self item
+            # of self-including paths (zeroOrOne/zeroOrMore) is spliced
+            # expression-side from the site row's own columns, so no
+            # universe scan and no extra union ever runs.  A cycle that
+            # reaches the subject collapses onto the path item with the
+            # smaller tid, matching the seeded evaluator's (keys, node)
+            # min-tord dedup.
+            from .paths import eval_path_universal
+
+            sshape = plan[2]
+            leaf = plan[3]
+            prel, inc_self = eval_path_universal(plan[1], engine.triples)
+            item_t = "array<struct<__etid:bigint,__enk:string,__ev:string>>"
+            if prel is not None:
                 fail_x, _ = engine._s_node_checks(leaf, "node")
                 vj = engine._s_node_value(leaf, "node")
-                ee = _path_rel(engine, plan[1], rel).selectExpr(
+                agg = prel.selectExpr(
                     "__u AS __ek", "tord AS __etid",
-                    f"CASE WHEN NOT ({fail_x}) THEN ({vj}) END AS __ev")
-            elif kind == "bigset":
+                    f"{s_term_key('node')} AS __enk",
+                    f"CASE WHEN NOT ({fail_x}) THEN ({vj}) END AS __ev",
+                ).groupBy("__ek").agg(
+                    F.expr("count(1)").alias(f"__pt{i}"),
+                    F.expr("count(__ev)").alias(f"__pm{i}"),
+                    F.expr(
+                        "collect_list(CASE WHEN __ev IS NOT NULL THEN "
+                        "named_struct('__etid', __etid, '__enk', __enk, "
+                        "'__ev', __ev) END)").alias(f"__pi{i}"),
+                ).withColumnRenamed("__ek", f"__sk{i}")
+                rel = rel.join(agg, rel["skey"] == agg[f"__sk{i}"],
+                               "left").drop(f"__sk{i}")
+            else:  # pure-identity path (empty sequence)
+                rel = rel.selectExpr(
+                    "*", "CAST(0 AS BIGINT) AS __pt" + str(i),
+                    "CAST(0 AS BIGINT) AS __pm" + str(i),
+                    f"CAST(array() AS {item_t}) AS __pi{i}")
+            items = f"coalesce(__pi{i}, CAST(array() AS {item_t}))"
+            if inc_self:
+                fail_f, _ = engine._s_node_checks(leaf, "focus")
+                vf = engine._s_node_value(leaf, "focus")
+                self_ok = f"(NOT ({fail_f}))"
+                dup = f"exists({items}, x -> x.__enk = skey)"
+                self_item = (f"named_struct('__etid', ord, '__enk', skey, "
+                             f"'__ev', ({vf}))")
+                merged = (
+                    f"CASE WHEN {self_ok} AND NOT ({dup}) THEN "
+                    f"array_append({items}, {self_item}) "
+                    f"WHEN {self_ok} THEN transform({items}, x -> "
+                    f"IF(x.__enk = skey, named_struct('__etid', "
+                    f"least(x.__etid, ord), '__enk', x.__enk, "
+                    f"'__ev', x.__ev), x)) "
+                    f"ELSE {items} END")
+                # a failing self overcounts __nt on a dup cycle, but the
+                # set already fails (nt > nm) either way
+                nt = (f"(coalesce(__pt{i}, 0) + "
+                      f"IF({self_ok} AND ({dup}), 0, 1))")
+                nm = (f"(coalesce(__pm{i}, 0) + "
+                      f"IF({self_ok} AND NOT ({dup}), 1, 0))")
+            else:
+                merged = items
+                nt = f"coalesce(__pt{i}, 0)"
+                nm = f"coalesce(__pm{i}, 0)"
+            body = (f"array_join(transform(array_sort({merged}), "
+                    f"x -> x.__ev), ',')")
+            rel = rel.selectExpr(
+                "*", f"({nt}) AS __nt{i}", f"({nm}) AS __nm{i}",
+                f"({body}) AS __bd{i}")
+            rel = rel.selectExpr(
+                "*",
+                f"concat('[', {_len_guard(engine, f'__bd{i}', 'set', 'skey')}, "
+                f"']') AS __sv{i}",
+            ).drop(f"__pt{i}", f"__pm{i}", f"__pi{i}", f"__bd{i}")
+            min_c = sshape.min_count or 0
+            max_c = sshape.max_count
+            n = f"coalesce(__nm{i}, 0)"
+            ok = f"(coalesce(__nt{i}, 0) = {n} AND ({n}) >= {min_c}"
+            if max_c is not None:
+                ok += f" AND ({n}) <= {max_c}"
+            ok += ")"
+            frag = None if prop.transient else (
+                f"CASE WHEN {ok} THEN "
+                f"concat({s_str(_jkey(prop))}, __sv{i}) END")
+            join_specs.append((i, ok, frag))
+        elif kind in ("bigset", "bigsetrec"):
+            sshape: SetShape = plan[3]
+            if kind == "bigset":
                 leaf = plan[4]
                 fail_x, _ = engine._s_node_checks(leaf, "__eo")
                 vj = engine._s_node_value(leaf, "__eo")

@@ -81,12 +81,14 @@ def _full_step_relation(
         return _full_step_relation(inner.inverse, triples, not reverse)
     if isinstance(inner, PredicatePath):
         src, dst = ("o", "s") if reverse else ("s", "o")
-        e = triples.filter(F.col("p") == F.lit(inner.predicate)).select(
+        # no dedup shuffle: dataset-built triples are distinct per
+        # (s, p, o) (dataset.py build), so single-predicate (u, node)
+        # pairs are already unique
+        return triples.filter(F.col("p") == F.lit(inner.predicate)).select(
             term_key_col(F.col(src)).alias("__u"),
             F.col(dst).alias("node"),
             F.col("tid").alias("tord"),
         )
-        return _dedup(e, ["__u"])
     # Composite inner (sequence/alternative/nested closure): seed from
     # every distinct term appearing anywhere in the graph; the first
     # join of the path prunes non-starters.
@@ -171,25 +173,7 @@ def eval_path(
         # per round).  Closure components in shape workloads are chains/
         # forests, so the all-source closure is O(edges · diameter), not
         # all-pairs dense.
-        r = _full_step_relation(inner, triples, reverse) \
-            .localCheckpoint(eager=False)
-        total = r.count()
-        iterations = 0
-        while total > 0:
-            iterations += 1
-            if iterations > MAX_CLOSURE_ITERATIONS:
-                raise RuntimeError(
-                    "property-path closure exceeded iteration cap")
-            left = r.select("__u", term_key_col(F.col("node")).alias("__vk"))
-            right = r.select(F.col("__u").alias("__vk"), "node", "tord")
-            comp = left.join(right, "__vk").select("__u", "node", "tord")
-            nxt = _dedup(r.unionAll(comp), ["__u"]) \
-                .localCheckpoint(eager=False)
-            n = nxt.count()
-            r = nxt
-            if n == total:
-                break
-            total = n
+        r = _closure(_full_step_relation(inner, triples, reverse))
 
         # re-attach per-site keys; self pairs keep the site row's tord
         # (distinct internal join name: callers may key on "__u")
@@ -201,4 +185,103 @@ def eval_path(
             reached = df.select(*keys, "node", "tord").unionAll(reached)
         return _dedup(reached, keys)
 
+    raise TypeError(f"unknown path {path!r}")
+
+
+def _closure(base: DataFrame) -> DataFrame:
+    """Transitive closure (distance >= 1) of a keyed one-step relation
+    (__u, node, tord) by pointer doubling; see the closure commentary in
+    :func:`eval_path`."""
+    r = base.localCheckpoint(eager=False)
+    total = r.count()
+    iterations = 0
+    while total > 0:
+        iterations += 1
+        if iterations > MAX_CLOSURE_ITERATIONS:
+            raise RuntimeError("property-path closure exceeded iteration cap")
+        left = r.select("__u", term_key_col(F.col("node")).alias("__vk"))
+        right = r.select(F.col("__u").alias("__vk"), "node", "tord")
+        comp = left.join(right, "__vk").select("__u", "node", "tord")
+        nxt = _dedup(r.unionAll(comp), ["__u"]) \
+            .localCheckpoint(eager=False)
+        n = nxt.count()
+        r = nxt
+        if n == total:
+            break
+        total = n
+    return r
+
+
+def _compose_universal(a, a_self: bool, b, b_self: bool):
+    """Compose two universal keyed relations: (A ∪ I?)∘(B ∪ I?) =
+    A∘B ∪ (A if B has identity) ∪ (B if A has identity), identity iff
+    both have it.  ``None`` stands for the empty relation (pure
+    identity when the flag is set)."""
+    parts = []
+    if a is not None and b is not None:
+        left = a.select("__u", term_key_col(F.col("node")).alias("__vk"))
+        right = b.select(F.col("__u").alias("__vk"), "node", "tord")
+        parts.append(left.join(right, "__vk").select("__u", "node", "tord"))
+    if a is not None and b_self:
+        parts.append(a)
+    if b is not None and a_self:
+        parts.append(b)
+    if not parts:
+        return None, a_self and b_self
+    rel = parts[0]
+    for other in parts[1:]:
+        rel = rel.unionAll(other)
+    if len(parts) > 1:
+        rel = _dedup(rel, ["__u"])
+    return rel, a_self and b_self
+
+
+def eval_path_universal(
+    path: PropertyPath, triples: DataFrame, reverse: bool = False,
+):
+    """``(rel, includes_self)``: ``path`` applied from EVERY term of the
+    graph as a keyed relation (``__u`` = source term key, ``node``
+    reached term, ``tord`` = min tid of the final step) that EXCLUDES
+    identity pairs; ``includes_self`` reports whether the path's
+    semantics add the source itself (zeroOrOne/zeroOrMore/empty
+    sequence).  Callers holding per-site seed rows splice the self item
+    from their own columns — no seed join, no universe scan; extra
+    sources are pruned by the caller's join back to its sites.
+    ``rel`` is ``None`` for the pure-identity path."""
+    if isinstance(path, InversePath):
+        return eval_path_universal(path.inverse, triples, not reverse)
+    if isinstance(path, PredicatePath):
+        return _full_step_relation(path, triples, reverse), False
+    if isinstance(path, SequencePath):
+        steps = list(path.sequence)
+        if reverse:
+            steps = [InversePath(s) for s in reversed(steps)]
+        rel, inc = None, True
+        for step in steps:
+            srel, sinc = eval_path_universal(step, triples)
+            rel, inc = _compose_universal(rel, inc, srel, sinc)
+        return rel, inc
+    if isinstance(path, AlternativePath):
+        rels, inc = [], False
+        for alt in path.alternatives:
+            arel, ainc = eval_path_universal(alt, triples, reverse)
+            if arel is not None:
+                rels.append(arel)
+            inc = inc or ainc
+        if not rels:
+            return None, inc
+        u = rels[0]
+        for other in rels[1:]:
+            u = u.unionAll(other)
+        return (_dedup(u, ["__u"]) if len(rels) > 1 else u), inc
+    if isinstance(path, ZeroOrOnePath):
+        rel, _ = eval_path_universal(path.path, triples, reverse)
+        return rel, True
+    if isinstance(path, (ZeroOrMorePath, OneOrMorePath)):
+        inner_rel, inner_inc = eval_path_universal(path.path, triples,
+                                                   reverse)
+        include_self = isinstance(path, ZeroOrMorePath) or inner_inc
+        if inner_rel is None:
+            return None, include_self
+        return _closure(inner_rel), include_self
     raise TypeError(f"unknown path {path!r}")
