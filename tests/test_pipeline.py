@@ -144,17 +144,20 @@ def test_pipeline_pr_vs_oracle(spark, turns, tmp_path):
 
 def test_materialize_resume(spark, turns, tmp_path):
     wd = str(tmp_path / "kg")
-    res1 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1")
+    res1 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1",
+                        track_errors=False)
     assert res1.metrics["written_buckets"] == 16
     assert res1.metrics["resumed_buckets"] == 0
     # resume: same fingerprint → all buckets skipped
-    res2 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1")
+    res2 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1",
+                        track_errors=False)
     assert res2.metrics["written_buckets"] == 0
     assert res2.metrics["resumed_buckets"] == 16
     # partial resume: drop two manifests → only those rewritten
     for k in (3, 7):
         os.remove(os.path.join(wd, "manifests", f"pbucket_{k}.json"))
-    res3 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1")
+    res3 = run_pipeline(spark, turns, workdir=wd, input_fingerprint="fp1",
+                        track_errors=False)
     assert res3.metrics["written_buckets"] == 2
     assert res3.metrics["resumed_buckets"] == 14
 
