@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_map_nations": R.q_frame_map_nations,
         "flatten_roundtrip_counts": R.q_flatten_roundtrip_counts,
         "flatten_relational_counts": R.q_flatten_relational_counts,
+        "turtle_roundtrip_counts": R.q_turtle_roundtrip_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
         # training-data ops
         "dedup_exact": q_dedup_exact,
@@ -423,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_map_nations": R.oracle_frame_map_nations(),
         "flatten_roundtrip_counts": R.oracle_flatten_roundtrip_counts(),
         "flatten_relational_counts": R.oracle_flatten_relational_counts(),
+        "turtle_roundtrip_counts": R.oracle_turtle_roundtrip_counts(),
         "flatten_list_counts": R.oracle_flatten_list_counts(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

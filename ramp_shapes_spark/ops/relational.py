@@ -373,6 +373,66 @@ def oracle_flatten_roundtrip_counts() -> str:
     """
 
 
+def q_turtle_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Turtle sink end-to-end: frame → flatten →
+    :func:`ramp_shapes_spark.turtle_write.write_turtle` (blank-grouped
+    Turtle, one document per seed partition) → re-parse every document
+    with the engine's own Turtle parser → per-predicate triple counts.
+
+    The oracle is the same as flatten_roundtrip_counts: a correct
+    writer/parser pair preserves the triple multiset exactly (blank
+    labels may differ; predicates and counts cannot)."""
+    from ramp_shapes_spark.flatten import flatten_df
+    from ramp_shapes_spark.turtle_write import write_turtle
+
+    b = ShapeBuilder()
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[prop("name", EX + "name",
+                         b.literal(datatype=XSD_STRING))],
+    )
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("nation", EX + "locatedIn", nation),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, supplier_graph(spark, sf_dir),
+                         diagnostics=False, track_errors=False)
+    res = engine.frame(supplier)
+    values = res.matches.select(
+        F.get_json_object("value", "$.id").alias("seed"), "value"
+    )
+    flat = flatten_df(values, b.catalog, supplier, seed_col="seed")
+    good = flat.filter(F.col("err_code").isNull()) \
+        .select("seed", "tid", "s", "p", "o")
+
+    sink = "/tmp/ramp_turtle_sink"
+    write_turtle(good, sink, prefixes={"ex": EX}, n_documents=8,
+                 order_cols=("seed", "tid"), partition_col="seed")
+
+    def parse_doc(kv):
+        from ramp_shapes_spark.ttl import parse_turtle
+        return [(p,) for (_s, p, _o) in parse_turtle(kv[1])]
+
+    preds = (
+        spark.sparkContext.wholeTextFiles(sink)
+        .flatMap(parse_doc).toDF(["p"])
+    )
+    return preds.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+
+
+def oracle_turtle_roundtrip_counts() -> str:
+    return oracle_flatten_roundtrip_counts()
+
+
 def q_path_alternative_places(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alternative property path (nation | nation/region), exploded to
     (subject, place) pairs — covers AlternativePath set semantics."""
