@@ -100,7 +100,25 @@ def main() -> None:
         "ann_brute_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
         "cosine_dup_pairs", "media_decode_dims",
         "cc_customer_chains", "events_sessions",
-    ]:
+        "turtle_roundtrip_counts",
+    ] + sorted(  # never silently drop a query added after this list
+        q for q in allq
+        if q not in {
+            "frame_supplier_record", "frame_nation_suppliers_set",
+            "frame_order_optional_union", "frame_map_nations",
+            "vocabulary_region", "path_sequence_region",
+            "path_closure_chain", "path_one_or_more", "path_zero_or_one",
+            "path_alternative_places", "flatten_roundtrip_counts",
+            "flatten_relational_counts", "flatten_list_counts",
+            "kg_turn_records", "dedup_exact", "minhash_signature",
+            "minhash_pairs", "minhash_banded_pairs", "ngram_jaccard_pairs",
+            "simhash", "simhash64", "token_stats", "quality_score",
+            "lang_guess", "doc_fingerprint", "ann_brute_topk",
+            "ann_ivf_kmeans_topk", "ann_ivf_topk", "cosine_dup_pairs",
+            "media_decode_dims", "cc_customer_chains", "events_sessions",
+            "turtle_roundtrip_counts",
+        }
+    ):
         best = None
         for _ in range(n_reps):
             t0 = time.time()

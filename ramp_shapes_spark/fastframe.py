@@ -127,6 +127,10 @@ def _classify(engine, prop: Property):
     vs = engine.catalog.get(prop.value_shape)
     if isinstance(vs, RecordShape) and qualifies(engine, vs):
         return ("record", pred, inv, prop.value_shape)
+    if isinstance(vs, OptionalShape):
+        inner = engine.catalog.get(vs.item_shape)
+        if isinstance(inner, RecordShape) and qualifies(engine, inner):
+            return ("optrec", pred, inv, vs, vs.item_shape)
     if isinstance(vs, SetShape):
         leaf = _leaf(engine, vs.item_shape)
         if leaf is not None:
@@ -490,6 +494,42 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
             frag = None if prop.transient else (
                 f"CASE WHEN {ok} THEN "
                 f"concat({s_str(_jkey(prop))}, __sv{i}) END")
+            join_specs.append((i, ok, frag))
+        elif kind == "optrec":
+            oshape = plan[3]
+            child = record_rel(engine, plan[4]).selectExpr(
+                f"fkey AS __ck{i}", "__fval AS __cv")
+            ee = e.join(
+                child, F.expr(s_term_key("__eo")) == child[f"__ck{i}"],
+                "left",
+            ).selectExpr("__ek", "__etid", "__cv AS __ev")
+            agg = ee.groupBy("__ek").agg(
+                F.expr("count(1)").alias(f"__nt{i}"),
+                F.expr("count(__ev)").alias(f"__nm{i}"),
+                F.expr("min(CASE WHEN __ev IS NOT NULL THEN "
+                       "struct(__etid, __ev) END)").alias(f"__e1{i}"),
+            ).withColumnRenamed("__ek", f"__sk{i}")
+            rel = rel.join(agg, rel["skey"] == agg[f"__sk{i}"], "left") \
+                .drop(f"__sk{i}")
+            # parity with the general compiler (verified by
+            # tests/test_optrec_fast.py): ANY candidate that mismatches
+            # the child record fails the property — optional only
+            # permits ZERO candidates (empty value) or exactly one
+            # matching candidate; it does not absorb present-but-
+            # mismatching edges (same rule as the plain record plan,
+            # frame.ts:281-305, with the zero case allowed)
+            n = f"coalesce(__nm{i}, 0)"
+            ok = f"(coalesce(__nt{i}, 0) = {n} AND {n} <= 1)"
+            val1 = f"(__e1{i}).__ev"
+            if oshape.empty_is_null:
+                val = f"CASE WHEN {n} = 1 THEN {val1} ELSE 'null' END"
+                frag = None if prop.transient else (
+                    f"CASE WHEN {ok} THEN "
+                    f"concat({s_str(_jkey(prop))}, {val}) END")
+            else:
+                frag = None if prop.transient else (
+                    f"CASE WHEN {ok} AND {n} = 1 THEN "
+                    f"concat({s_str(_jkey(prop))}, {val1}) END")
             join_specs.append((i, ok, frag))
         elif kind in ("bigset", "bigsetrec"):
             sshape: SetShape = plan[3]
