@@ -78,6 +78,27 @@ def q_ngram_jaccard(spark, sf_dir):
                                max_pairs=None)
 
 
+def q_neardup_clusters(spark, sf_dir):
+    from ramp_shapes_spark.ops.dedup import neardup_clusters
+    return neardup_clusters(_docs(spark, sf_dir))
+
+
+def q_sample_split_counts(spark, sf_dir):
+    from ramp_shapes_spark.ops.sampling import deterministic_split
+    d = deterministic_split(
+        _docs(spark, sf_dir), "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_sample_stratified_counts(spark, sf_dir):
+    from ramp_shapes_spark.ops.sampling import stratified_sample
+    s = stratified_sample(_docs(spark, sf_dir), "doc_id", "lang",
+                          {"en": 0.25}, default_rate=1.0)
+    return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_simhash(spark, sf_dir):
     return simhash16(_docs(spark, sf_dir))
 
@@ -211,6 +232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_roundtrip_counts": R.q_flatten_roundtrip_counts,
         "flatten_relational_counts": R.q_flatten_relational_counts,
         "turtle_roundtrip_counts": R.q_turtle_roundtrip_counts,
+        "neardup_clusters": q_neardup_clusters,
+        "sample_split_counts": q_sample_split_counts,
+        "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
         # training-data ops
         "dedup_exact": q_dedup_exact,
@@ -442,6 +466,53 @@ def oracle_sql() -> dict[str, str]:
               ON a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1
              AND a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3
              AND a.doc_id < b.doc_id
+        """,
+        # clusters = connected components of the minhash pair graph;
+        # the recursive CTE propagates every reachable id and min()
+        # picks the component representative (numeric minimum — the
+        # Spark side zero-pads node ids so its lexicographic CC rep is
+        # the same value)
+        "neardup_clusters": f"""
+            WITH RECURSIVE sig AS ({_minhash_sig_sql()}),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b
+                  ON a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1
+                 AND a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3
+                 AND a.doc_id < b.doc_id),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(node, m) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.m
+                FROM reach r JOIN edges e ON e.src = r.node)
+            SELECT node AS doc_id, min(m) AS canonical
+            FROM reach GROUP BY node
+        """,
+        # thresholds are the cumulative 4-hex-digit bucket bounds of
+        # ops/sampling.py: 0.8 -> 0xcccc, 0.9 -> 0xe666
+        "sample_split_counts": """
+            SELECT CASE
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                          < 'cccc' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                          < 'e666' THEN 'valid'
+                     ELSE 'test'
+                   END AS split,
+                   lang, count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        # en downsampled to 0.25 (threshold 0x4000), other strata kept
+        # ('g' sorts above every hex bucket)
+        "sample_stratified_counts": """
+            SELECT lang, count(*) AS n_docs
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < CASE WHEN lang = 'en' THEN '4000' ELSE 'g' END
+            GROUP BY lang
         """,
         "simhash": _simhash_sql(),
         "simhash64": _simhash64_sql(),

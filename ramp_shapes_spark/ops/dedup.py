@@ -225,3 +225,38 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                 f"{max_pairs} results; raise the cap or tighten the "
                 f"threshold (refusing to silently truncate)")
     return out
+
+
+def neardup_clusters(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 4) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the minhash
+    AND-pair graph, one canonical representative (numeric-minimum
+    doc id) per cluster.  Returns (doc_id, canonical) for EVERY
+    document — singletons map to themselves — i.e. the keep/drop map a
+    dedup stage applies to the corpus.
+
+    Scale shape: pair generation is the bucketed signature self-join
+    (no all-pairs), clustering reuses the pipeline's contraction CC
+    (log-round, skew-defended).  Node ids are zero-padded so the CC
+    representative (lexicographic min) is the numeric min — the same
+    value an ANSI-SQL ``min()`` oracle computes."""
+    from ramp_shapes_spark.pipeline.canonicalize import (
+        connected_components,
+    )
+
+    pairs = minhash_dup_pairs(docs, text_col, id_col, k)
+    pad = "%019d"
+    edges = pairs.select(
+        F.format_string(pad, F.col("doc_a")).alias("src"),
+        F.format_string(pad, F.col("doc_b")).alias("dst"),
+    )
+    cc = connected_components(edges, hot_k=0)
+    return (
+        docs.select(F.format_string(pad, F.col(id_col)).alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.coalesce(F.col("component"), F.col("node"))
+            .cast("long").alias("canonical"),
+        )
+    )

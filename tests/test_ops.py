@@ -360,3 +360,69 @@ def test_cycles_neighborhood_hop_guard(spark):
             engine.frame(node_id).matches.count()
     finally:
         cyc.MAX_NEIGHBORHOOD_TRIPLES = old
+
+
+def test_deterministic_split_is_partition_stable(spark, docs):
+    """The split assignment is a pure function of the key: totals
+    partition correctly, fractions land near target, and reshuffling
+    the input changes nothing (df.sample would fail this)."""
+    from ramp_shapes_spark.ops.sampling import deterministic_split
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    d1 = deterministic_split(docs, "doc_id", fr)
+    counts = dict(
+        (r["split"], r["n"]) for r in
+        d1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect())
+    n = docs.count()
+    assert sum(counts.values()) == n
+    assert counts.get("train", 0) > counts.get("valid", 0)
+
+    d2 = deterministic_split(docs.repartition(13, "lang"), "doc_id", fr)
+    diff = (
+        d1.select("doc_id", "split")
+        .join(d2.selectExpr("doc_id", "split AS s2"), "doc_id")
+        .filter("split != s2").count()
+    )
+    assert diff == 0
+
+
+def test_stratified_sample_downsamples_only_target(spark, docs):
+    from ramp_shapes_spark.ops.sampling import stratified_sample
+    out = stratified_sample(docs, "doc_id", "lang", {"en": 0.0},
+                            default_rate=1.0)
+    langs = dict(
+        (r["lang"], r["n"]) for r in
+        out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect())
+    assert "en" not in langs
+    orig = dict(
+        (r["lang"], r["n"]) for r in
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect())
+    for k in orig:
+        if k != "en":
+            assert langs[k] == orig[k]
+
+
+def test_neardup_clusters_cover_all_docs(spark, docs):
+    from ramp_shapes_spark.ops.dedup import minhash_dup_pairs, \
+        neardup_clusters
+    cl = neardup_clusters(docs).persist()
+    assert cl.count() == docs.count()
+    # canonical is the numeric min of each cluster, every pair is
+    # clustered together, and canonicals are fixpoints
+    pairs = minhash_dup_pairs(docs)
+    broken = (
+        pairs.join(cl.selectExpr("doc_id AS doc_a", "canonical AS ca"),
+                   "doc_a")
+        .join(cl.selectExpr("doc_id AS doc_b", "canonical AS cb"),
+              "doc_b")
+        .filter("ca != cb").count()
+    )
+    assert broken == 0
+    assert cl.filter("canonical > doc_id").count() == 0
+    fix = (
+        cl.selectExpr("canonical AS doc_id")
+        .distinct()
+        .join(cl, "doc_id")
+        .filter("canonical != doc_id").count()
+    )
+    assert fix == 0
+    cl.unpersist()
