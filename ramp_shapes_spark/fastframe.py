@@ -118,6 +118,15 @@ def _classify(engine, prop: Property):
             leaf = _leaf(engine, vs.item_shape)
             if leaf is not None:
                 return ("pathset", prop.path, vs, leaf)
+        leaf = _leaf(engine, prop.value_shape)
+        if leaf is not None:
+            # exactly-one leaf over a composite path (sequence /
+            # alternative / zeroOrOne / closure)
+            return ("pathleaf", prop.path, None, leaf)
+        if isinstance(vs, OptionalShape):
+            oleaf = _leaf(engine, vs.item_shape)
+            if oleaf is not None:
+                return ("pathleaf", prop.path, vs, oleaf)
         return None
     pred, inv = pi
     if not inv:
@@ -380,7 +389,7 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
         kind = plan[0]
         if kind in ("gather", "anyleaf"):
             continue
-        if kind == "pathset":
+        if kind in ("pathset", "pathleaf"):
             e = None  # relation comes from the universal path evaluator
         else:
             pred, inv = plan[1], plan[2]
@@ -494,6 +503,74 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
             frag = None if prop.transient else (
                 f"CASE WHEN {ok} THEN "
                 f"concat({s_str(_jkey(prop))}, __sv{i}) END")
+            join_specs.append((i, ok, frag))
+        elif kind == "pathleaf":
+            # exactly-one / optional leaf over a composite path: the
+            # universal path relation aggregates to three counters per
+            # subject (total reached, matching, first match by tord);
+            # self-including paths splice the subject expression-side,
+            # deduplicated against a cycle reaching the subject (same
+            # rule as pathset).  Candidates are a SET, so a self
+            # already among the reached nodes adds nothing.
+            from .paths import eval_path_universal
+
+            wrapper = plan[2]  # None = plain, OptionalShape = optional
+            leaf = plan[3]
+            prel, inc_self = eval_path_universal(plan[1], engine.triples)
+            if prel is not None:
+                fail_x, _ = engine._s_node_checks(leaf, "node")
+                vj = engine._s_node_value(leaf, "node")
+                agg = prel.selectExpr(
+                    "__u AS __ek", "tord AS __etid",
+                    f"{s_term_key('node')} AS __enk",
+                    f"CASE WHEN NOT ({fail_x}) THEN ({vj}) END AS __ev",
+                ).groupBy("__ek").agg(
+                    F.expr("count(1)").alias(f"__pt{i}"),
+                    F.expr("count(__ev)").alias(f"__pm{i}"),
+                    F.expr("min(CASE WHEN __ev IS NOT NULL THEN "
+                           "struct(__etid, __ev) END)").alias(f"__p1{i}"),
+                    F.expr("max(CASE WHEN __enk = __ek THEN 1 ELSE 0 "
+                           "END)").alias(f"__sd{i}"),
+                ).withColumnRenamed("__ek", f"__sk{i}")
+                rel = rel.join(agg, rel["skey"] == agg[f"__sk{i}"],
+                               "left").drop(f"__sk{i}")
+            else:  # pure-identity path (empty sequence)
+                rel = rel.selectExpr(
+                    "*", f"CAST(0 AS BIGINT) AS __pt{i}",
+                    f"CAST(0 AS BIGINT) AS __pm{i}",
+                    f"CAST(NULL AS struct<__etid:bigint,__ev:string>) "
+                    f"AS __p1{i}",
+                    f"0 AS __sd{i}")
+            pt = f"coalesce(__pt{i}, 0)"
+            pm = f"coalesce(__pm{i}, 0)"
+            if inc_self:
+                fail_f, _ = engine._s_node_checks(leaf, "focus")
+                vf = engine._s_node_value(leaf, "focus")
+                self_ok = f"(NOT ({fail_f}))"
+                dup = f"(coalesce(__sd{i}, 0) = 1)"
+                nt = f"({pt} + IF({dup}, 0, 1))"
+                nm = f"({pm} + IF({self_ok} AND NOT {dup}, 1, 0))"
+                val1 = (f"CASE WHEN {pm} >= 1 THEN (__p1{i}).__ev "
+                        f"WHEN {self_ok} THEN ({vf}) END")
+            else:
+                nt, nm = pt, pm
+                val1 = f"(__p1{i}).__ev"
+            if wrapper is None:  # plain, exactly-one
+                ok = (f"({nm} = 1)" if leaf.lenient else
+                      f"({nt} = {nm} AND {nm} = 1)")
+                frag = None if prop.transient else (
+                    f"CASE WHEN {ok} THEN "
+                    f"concat({s_str(_jkey(prop))}, {val1}) END")
+            else:  # optional
+                fails_ok = wrapper.lenient or leaf.lenient
+                ok = (f"({nm} <= 1)" if fails_ok else
+                      f"({nt} = {nm} AND {nm} <= 1)")
+                val = f"CASE WHEN {nm} = 1 THEN {val1} END"
+                if wrapper.empty_is_null:
+                    val = f"coalesce({val}, 'null')"
+                frag = None if prop.transient else (
+                    f"CASE WHEN {ok} THEN CASE WHEN ({val}) IS NOT NULL "
+                    f"THEN concat({s_str(_jkey(prop))}, {val}) END END")
             join_specs.append((i, ok, frag))
         elif kind == "optrec":
             oshape = plan[3]
