@@ -105,6 +105,65 @@ def read_stream_triples(spark: SparkSession, root: str) -> DataFrame:
     return out
 
 
+def compact_stream_aliases(spark: SparkSession, root: str,
+                           n_buckets: int = 16) -> DataFrame:
+    """Global entity-alias compaction over every materialized batch.
+
+    Per-batch canonicalization only sees its own micro-batch's link
+    edges, so entity clusters split across batches leave CHAINS of
+    ``kg:canonicalEntity`` aliases (batch 1: B→A, batch 2: C→B).  This
+    periodic batch job folds them: connected components over the union
+    of all alias edges produce one global representative per cluster
+    (the same log-round contraction CC as the pipeline), then every
+    triple's entity references are rewritten to it — alias edges become
+    a flat forest (no chains) and mention→entity edges point at global
+    canonicals.  Returns the compacted flat triple DataFrame; callers
+    write it as a new snapshot generation.  This is the LSM-style merge
+    step of the streaming design: cheap incremental batches, periodic
+    global fold."""
+    from pyspark.sql import functions as F
+
+    from ramp_shapes_spark.pipeline.canonicalize import (
+        connected_components,
+    )
+    from ramp_shapes_spark.pipeline.kgshapes import kg
+
+    flat = read_stream_triples(spark, root)
+    canon_p = kg("canonicalEntity")
+    alias = flat.filter(F.col("p") == F.lit(canon_p))
+    edges = alias.select(F.col("s_value").alias("src"),
+                         F.col("o_value").alias("dst"))
+    cc = connected_components(edges)  # (node, component=min id)
+    cmap = cc.select(F.col("node").alias("__n"),
+                     F.col("component").alias("__c"))
+
+    rest = flat.filter(F.col("p") != F.lit(canon_p))
+    rewritten = (
+        rest.join(cmap, (rest["o_value"] == F.col("__n"))
+                  & (rest["o_kind"] == "iri"), "left")
+        .select(
+            "s_kind", "s_value", "p", "o_kind",
+            F.coalesce("__c", "o_value").alias("o_value"),
+            "o_dt", "o_lang", "pbucket",
+        )
+    )
+    folded_aliases = (
+        cc.filter(F.col("node") != F.col("component"))
+        .select(
+            F.lit("iri").alias("s_kind"), F.col("node").alias("s_value"),
+            F.lit(canon_p).alias("p"),
+            F.lit("iri").alias("o_kind"),
+            F.col("component").alias("o_value"),
+            F.lit(None).cast("string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.pmod(F.xxhash64(F.lit(canon_p)), F.lit(n_buckets))
+            .cast("int").alias("pbucket"),
+        )
+    )
+    return rewritten.unionByName(folded_aliases).dropDuplicates(
+        ["s_kind", "s_value", "p", "o_kind", "o_value", "o_dt", "o_lang"])
+
+
 def stream_turn_rates(
     spark: SparkSession,
     input_path: str,

@@ -101,3 +101,55 @@ def test_windowed_turn_rates(spark, drops, tmp_path):
     last_window = spark.sql(
         "SELECT max(window_end) AS we FROM turn_rates").collect()[0]["we"]
     assert last_window is not None
+
+
+def test_compact_stream_aliases_folds_chains(spark, tmp_path):
+    """Two batches whose alias edges chain (B->A, then C->B) must fold
+    to a flat forest pointing at the global canonical, with mention
+    entity references rewritten."""
+    from ramp_shapes_spark.pipeline.kgshapes import kg
+    from ramp_shapes_spark.pipeline.materialize import materialize_triples
+    from ramp_shapes_spark.streaming.ingest import compact_stream_aliases
+    from ramp_shapes_spark.terms import TERM_TYPE
+
+    root = str(tmp_path / "kgroot")
+    canon = kg("canonicalEntity")
+
+    def term(kind, value):
+        return {"kind": kind, "value": value, "dt": None, "lang": None}
+
+    def triple_rows(rows):
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+        schema = StructType([
+            StructField("tid", LongType()),
+            StructField("s", TERM_TYPE), StructField("p", StringType()),
+            StructField("o", TERM_TYPE),
+        ])
+        return spark.createDataFrame(
+            [(i, term("iri", s), p, term("iri", o))
+             for i, (s, p, o) in enumerate(rows)], schema)
+
+    b1 = triple_rows([
+        ("entity:B", canon, "entity:A"),
+        ("mo:1", kg("entity"), "entity:A"),
+    ])
+    b2 = triple_rows([
+        ("entity:C", canon, "entity:B"),
+        ("mo:2", kg("entity"), "entity:B"),
+        ("mo:3", kg("entity"), "entity:C"),
+    ])
+    materialize_triples(b1, os.path.join(root, "batches", "0000000000"),
+                        n_buckets=8, input_fingerprint="b1")
+    materialize_triples(b2, os.path.join(root, "batches", "0000000001"),
+                        n_buckets=8, input_fingerprint="b2")
+
+    out = compact_stream_aliases(spark, root, n_buckets=8).persist()
+    aliases = {(r["s_value"], r["o_value"])
+               for r in out.filter(F.col("p") == canon).collect()}
+    assert aliases == {("entity:B", "entity:A"),
+                       ("entity:C", "entity:A")}, aliases
+    entity_targets = {r["o_value"] for r in
+                      out.filter(F.col("p") == kg("entity")).collect()}
+    assert entity_targets == {"entity:A"}
+    out.unpersist()
