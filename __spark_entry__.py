@@ -289,7 +289,9 @@ def _minhash_sig_sql(k: int = 4) -> str:
     return f"SELECT doc_id, {sigs} FROM documents"
 
 
-def _minhash_banded_sql(bands: int = 4, rows: int = 2) -> str:
+def _banded_union_sql(bands: int = 4, rows: int = 2) -> str:
+    """The OR-of-ANDs band joins over a CTE named ``sig`` (no WITH
+    prefix, so callers can splice it into their own CTE list)."""
     joins = []
     for j in range(bands):
         conds = " AND ".join(
@@ -300,8 +302,12 @@ def _minhash_banded_sql(bands: int = 4, rows: int = 2) -> str:
             f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
             f"FROM sig a JOIN sig b ON {conds} AND a.doc_id < b.doc_id"
         )
-    union = "\nUNION\n".join(joins)
-    return f"WITH sig AS ({_minhash_sig_sql(bands * rows)})\n{union}"
+    return "\nUNION\n".join(joins)
+
+
+def _minhash_banded_sql(bands: int = 4, rows: int = 2) -> str:
+    return (f"WITH sig AS ({_minhash_sig_sql(bands * rows)})\n"
+            f"{_banded_union_sql(bands, rows)}")
 
 
 def _ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
@@ -467,19 +473,15 @@ def oracle_sql() -> dict[str, str]:
              AND a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3
              AND a.doc_id < b.doc_id
         """,
-        # clusters = connected components of the minhash pair graph;
-        # the recursive CTE propagates every reachable id and min()
-        # picks the component representative (numeric minimum — the
-        # Spark side zero-pads node ids so its lexicographic CC rep is
-        # the same value)
+        # clusters = connected components of the BANDED LSH pair graph
+        # (non-transitive similarity → a real closure, not clique
+        # folding); the recursive CTE propagates every reachable id and
+        # min() picks the component representative (numeric minimum —
+        # the Spark side zero-pads node ids so its lexicographic CC rep
+        # is the same value)
         "neardup_clusters": f"""
-            WITH RECURSIVE sig AS ({_minhash_sig_sql()}),
-            pairs AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM sig a JOIN sig b
-                  ON a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1
-                 AND a.sig_2 = b.sig_2 AND a.sig_3 = b.sig_3
-                 AND a.doc_id < b.doc_id),
+            WITH RECURSIVE sig AS ({_minhash_sig_sql(8)}),
+            pairs AS ({_banded_union_sql()}),
             edges AS (
                 SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL

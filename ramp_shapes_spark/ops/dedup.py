@@ -228,15 +228,22 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def neardup_clusters(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id", k: int = 4) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the minhash
-    AND-pair graph, one canonical representative (numeric-minimum
-    doc id) per cluster.  Returns (doc_id, canonical) for EVERY
-    document — singletons map to themselves — i.e. the keep/drop map a
-    dedup stage applies to the corpus.
+                     id_col: str = "doc_id", bands: int = 4,
+                     rows: int = 2) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the banded
+    MinHash LSH pair graph, one canonical representative
+    (numeric-minimum doc id) per cluster.  Returns (doc_id, canonical)
+    for EVERY document — singletons map to themselves — i.e. the
+    keep/drop map a dedup stage applies to the corpus.
 
-    Scale shape: pair generation is the bucketed signature self-join
-    (no all-pairs), clustering reuses the pipeline's contraction CC
+    Banded (OR-of-ANDs) pairs are the right input: the similarity
+    relation is NOT transitive (doc A~B via band 0, B~C via band 3),
+    so clusters genuinely need the transitive closure — unlike
+    full-signature AND-pairs, whose graph is a union of disjoint
+    cliques a plain groupBy could fold.
+
+    Scale shape: pair generation is the per-band bucket self-join (no
+    all-pairs), clustering reuses the pipeline's contraction CC
     (log-round, skew-defended).  Node ids are zero-padded so the CC
     representative (lexicographic min) is the numeric min — the same
     value an ANSI-SQL ``min()`` oracle computes."""
@@ -244,7 +251,8 @@ def neardup_clusters(docs: DataFrame, text_col: str = "text",
         connected_components,
     )
 
-    pairs = minhash_dup_pairs(docs, text_col, id_col, k)
+    pairs = minhash_banded_pairs(docs, text_col, id_col,
+                                 bands=bands, rows=rows)
     pad = "%019d"
     edges = pairs.select(
         F.format_string(pad, F.col("doc_a")).alias("src"),

@@ -402,13 +402,13 @@ def test_stratified_sample_downsamples_only_target(spark, docs):
 
 
 def test_neardup_clusters_cover_all_docs(spark, docs):
-    from ramp_shapes_spark.ops.dedup import minhash_dup_pairs, \
+    from ramp_shapes_spark.ops.dedup import minhash_banded_pairs, \
         neardup_clusters
     cl = neardup_clusters(docs).persist()
     assert cl.count() == docs.count()
     # canonical is the numeric min of each cluster, every pair is
     # clustered together, and canonicals are fixpoints
-    pairs = minhash_dup_pairs(docs)
+    pairs = minhash_banded_pairs(docs)
     broken = (
         pairs.join(cl.selectExpr("doc_id AS doc_a", "canonical AS ca"),
                    "doc_a")
