@@ -27,7 +27,20 @@ N_CONV = int(os.environ.get("SPARK_GRAFT_NCONV", "3000"))
 
 
 def main() -> None:
+    import subprocess
+
     from pyspark.sql import SparkSession
+
+    # contention telemetry: a leftover Spark JVM (e.g. from a killed
+    # interactive run) or a busy host depresses every number 30%+;
+    # record the evidence so a slow artifact can be read correctly
+    try:
+        n_jvms = int(subprocess.run(
+            ["pgrep", "-fc", "SparkSubmit"], capture_output=True,
+            text=True).stdout.strip() or 0)
+    except Exception:
+        n_jvms = -1
+    load1 = round(os.getloadavg()[0], 2)
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -170,6 +183,8 @@ def main() -> None:
         "gen_sec": round(gen_t, 3),
         "total_sec": round(total, 3),
         "cpus": int(CPUS),
+        "preexisting_spark_jvms": n_jvms,
+        "load1_at_start": load1,
     }))
 
 
