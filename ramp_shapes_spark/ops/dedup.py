@@ -236,28 +236,49 @@ def neardup_clusters(docs: DataFrame, text_col: str = "text",
     for EVERY document — singletons map to themselves — i.e. the
     keep/drop map a dedup stage applies to the corpus.
 
-    Banded (OR-of-ANDs) pairs are the right input: the similarity
+    Banded (OR-of-ANDs) buckets are the right input: the similarity
     relation is NOT transitive (doc A~B via band 0, B~C via band 3),
     so clusters genuinely need the transitive closure — unlike
     full-signature AND-pairs, whose graph is a union of disjoint
     cliques a plain groupBy could fold.
 
-    Scale shape: pair generation is the per-band bucket self-join (no
-    all-pairs), clustering reuses the pipeline's contraction CC
-    (log-round, skew-defended).  Node ids are zero-padded so the CC
-    representative (lexicographic min) is the numeric min — the same
-    value an ANSI-SQL ``min()`` oracle computes."""
+    Scale shape: edges are BUCKET STARS, not within-bucket pairs —
+    every doc links to its band-bucket's minimum doc (one window pass
+    per band), which preserves connectivity exactly while emitting
+    O(docs × bands) edges instead of O(Σ bucket²): a dup-heavy corpus
+    turns bucket pairs quadratic (measured 105 s at sf0.1 vs ~10 s for
+    stars on the same corpus).  Clustering reuses the pipeline's
+    contraction CC (log-round, skew-defended).  Node ids are
+    zero-padded so the CC representative (lexicographic min) is the
+    numeric min — the same value an ANSI-SQL ``min()`` oracle over the
+    pairwise closure computes (star and pair graphs have identical
+    components)."""
+    from pyspark.sql import Window
+
     from ramp_shapes_spark.pipeline.canonicalize import (
         connected_components,
     )
 
-    pairs = minhash_banded_pairs(docs, text_col, id_col,
-                                 bands=bands, rows=rows)
     pad = "%019d"
-    edges = pairs.select(
-        F.format_string(pad, F.col("doc_a")).alias("src"),
-        F.format_string(pad, F.col("doc_b")).alias("dst"),
-    )
+    sig = minhash_signature(docs, text_col, id_col, k=bands * rows)
+    parts = []
+    for j in range(bands):
+        bucket = F.concat_ws(
+            "|", *[F.col(f"sig_{j * rows + r}") for r in range(rows)])
+        b = sig.select(
+            F.format_string(pad, F.col(id_col)).alias("__doc"),
+            bucket.alias("__bkt"),
+        )
+        w = Window.partitionBy("__bkt")
+        m = b.withColumn("__min", F.min("__doc").over(w))
+        parts.append(
+            m.filter(F.col("__doc") != F.col("__min"))
+            .select(F.col("__doc").alias("src"),
+                    F.col("__min").alias("dst"))
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionAll(p)
     cc = connected_components(edges, hot_k=0)
     return (
         docs.select(F.format_string(pad, F.col(id_col)).alias("node"))
