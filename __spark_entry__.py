@@ -78,6 +78,11 @@ def q_ngram_jaccard(spark, sf_dir):
                                max_pairs=None)
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    from ramp_shapes_spark.ops.textstats import subword_stats
+    return subword_stats(_docs(spark, sf_dir))
+
+
 def q_neardup_clusters(spark, sf_dir):
     from ramp_shapes_spark.ops.dedup import neardup_clusters
     return neardup_clusters(_docs(spark, sf_dir))
@@ -233,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_relational_counts": R.q_flatten_relational_counts,
         "turtle_roundtrip_counts": R.q_turtle_roundtrip_counts,
         "neardup_clusters": q_neardup_clusters,
+        "bpe_token_counts": q_bpe_token_counts,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -506,6 +512,16 @@ def oracle_sql() -> dict[str, str]:
                    END AS split,
                    lang, count(*) AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        # the exact BPE_SEGMENT_RE pattern (Java-regex/RE2-common
+        # subset), whitespace split matches _TOKS
+        "bpe_token_counts": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))
+                       AS BIGINT) AS n_subwords,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens
+            FROM documents
         """,
         # en downsampled to 0.25 (threshold 0x4000), other strata kept
         # ('g' sorts above every hex bucket)

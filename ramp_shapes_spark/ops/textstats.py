@@ -102,3 +102,30 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col), F.array_min(windows).alias("fingerprint")
     )
+
+
+# GPT-2-style pre-tokenizer segments WITHOUT lookahead/apostrophe
+# classes: letter runs, digit runs, non-alphanumeric runs.  Restricted
+# to constructs RE2 also supports so the exact same pattern runs in
+# the DuckDB oracle (Java regex and RE2 agree on this subset).
+BPE_SEGMENT_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+def subword_stats(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token counting: (doc_id, n_subwords, n_ws_tokens).
+
+    ``n_subwords`` counts pre-tokenizer segments (the unit a BPE/
+    byte-level tokenizer would split further — the standard corpus
+    "token count" estimate); ``n_ws_tokens`` is the whitespace count
+    for the compression-ratio denominator.  Pure column expressions —
+    one codegen'd projection at any scale."""
+    from .dedup import tokens_col
+
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_SEGMENT_RE))
+        .cast("long").alias("n_subwords"),
+        F.size(tokens_col(F.col(text_col))).cast("long")
+        .alias("n_ws_tokens"),
+    )
