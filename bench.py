@@ -35,9 +35,11 @@ def main() -> None:
     # interactive run) or a busy host depresses every number 30%+;
     # record the evidence so a slow artifact can be read correctly
     try:
+        # anchored to the java binary path so shells whose command line
+        # merely CONTAINS the word (e.g. a pkill wrapper) don't count
         n_jvms = int(subprocess.run(
-            ["pgrep", "-fc", "SparkSubmit"], capture_output=True,
-            text=True).stdout.strip() or 0)
+            ["pgrep", "-fc", r"^\S*/java .*SparkSubmit"],
+            capture_output=True, text=True).stdout.strip() or 0)
     except Exception:
         n_jvms = -1
     load1 = round(os.getloadavg()[0], 2)
