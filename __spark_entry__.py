@@ -74,8 +74,8 @@ def q_minhash_banded_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
-                               max_pairs=None)
+    # default-on max_pairs guard: the benched path is the guarded path
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_bpe_token_counts(spark, sf_dir):

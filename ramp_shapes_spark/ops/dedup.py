@@ -75,7 +75,9 @@ def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
 
 def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", bands: int = 4,
-                         rows: int = 2) -> DataFrame:
+                         rows: int = 2,
+                         max_bucket_width: int | None = 100_000,
+                         max_pairs: int | None = 1_000_000) -> DataFrame:
     """Banded MinHash LSH candidate pairs (the standard OR-of-ANDs
     construction): ``bands`` bands of ``rows`` hashes each over a
     ``bands*rows``-permutation signature; a pair is a candidate when it
@@ -90,6 +92,18 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
     AQE skew-join splitting handles the join side, and the per-band
     bucket keys spread load b ways.  Returns (doc_a, doc_b) distinct,
     doc_a < doc_b.
+
+    Guards (pair listing is quadratic in bucket width *by definition of
+    its output*, so both fail LOUDLY rather than silently truncate):
+    ``max_bucket_width`` caps the width of any (band, bucket) — one
+    boilerplate bucket of width w emits w·(w-1)/2 pairs, an all-pairs
+    join at corpus scale; ``max_pairs`` caps the total CANDIDATE volume
+    Σ w·(w-1)/2 (an upper bound on the distinct output — cross-band
+    repeats of a pair count once per band).  Both checks share one
+    cheap aggregation over the exploded (band, bucket) rows and run
+    BEFORE the quadratic join is ever executed.  Pass ``None`` for both
+    to skip the guard action.  For cluster-level dedup at scale prefer
+    :func:`neardup_clusters`, whose bucket-star edges are O(docs×bands).
     """
     k = bands * rows
     sig = minhash_signature(docs, text_col, id_col, k)
@@ -105,6 +119,28 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc"), F.explode(band_entries).alias("e")
     ).select("doc", F.col("e.band").alias("band"),
              F.col("e.bucket").alias("bucket"))
+    if max_bucket_width is not None or max_pairs is not None:
+        g = (
+            exploded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .agg(F.max("__w").alias("__mx"),
+                 F.sum((F.col("__w") * (F.col("__w") - 1) / 2)
+                       .cast("long")).alias("__cand"))
+            .collect()[0]
+        )
+        if (max_bucket_width is not None and g["__mx"] is not None
+                and g["__mx"] > max_bucket_width):
+            raise RuntimeError(
+                f"minhash_banded_pairs: a band bucket holds {g['__mx']} "
+                f"documents (> max_bucket_width={max_bucket_width}); "
+                f"the within-bucket pair join would be quadratic — use "
+                f"neardup_clusters (bucket-star edges) or raise the cap")
+        if (max_pairs is not None and g["__cand"] is not None
+                and g["__cand"] > max_pairs):
+            raise RuntimeError(
+                f"minhash_banded_pairs: candidate volume {g['__cand']} "
+                f"exceeds max_pairs={max_pairs}; raise the cap or use "
+                f"neardup_clusters (refusing to silently truncate)")
     a = exploded.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = exploded.select(F.col("doc").alias("doc_b"), "band", "bucket")
     return (
@@ -112,6 +148,51 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+# hex digit -> low-bit parity of its ascii code ('1'→1, 'a'(97)→1, …):
+# precomputed so the whole per-token hash work is ONE md5 + ONE
+# translate instead of nbits substring/ascii probes over re-hashed md5s
+_HEX_PARITY = ("0123456789abcdef", "0101010101101010")
+
+
+def _simhash_word(toks: Column, salt: str, nbits: int) -> Column:
+    """Majority-vote simhash word over hex digits 1..nbits of
+    ``md5(token || salt)``.
+
+    The md5 is computed ONCE per token (the naive per-bit formulation
+    re-hashes every token nbits times — a 16-64× constant on the hot
+    path); ``translate`` maps the digest to its per-digit parity string
+    up front, one fold accumulates all nbits vote counters, and a
+    second (driver-side constant-size) fold packs the majority bits.
+    Vote semantics are identical to the per-bit form: parity 1 → +1,
+    parity 0 → −1, bit set iff votes > 0."""
+    parities = F.transform(
+        toks,
+        lambda t: F.translate(F.md5(F.concat(t, F.lit(salt))),
+                              *_HEX_PARITY),
+    )
+    votes = F.aggregate(
+        parities,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(1), F.lit(nbits)),
+                        lambda i: h.substr(i, F.lit(1)).cast("int")),
+            lambda a, bit: a + bit * 2 - 1,
+        ),
+    )
+    return F.aggregate(
+        votes,
+        F.struct(F.lit(0).cast("long").alias("w"),
+                 F.lit(1).cast("long").alias("p")),
+        lambda acc, v: F.struct(
+            (acc["w"] + F.when(v > 0, acc["p"]).otherwise(F.lit(0)))
+            .alias("w"),
+            (acc["p"] * F.lit(2)).alias("p"),
+        ),
+        lambda acc: acc["w"],
     )
 
 
@@ -124,18 +205,10 @@ def simhash16(docs: DataFrame, text_col: str = "text",
     (md5 + ascii only).  Returns (doc_id, simhash int).
     """
     toks = tokens_col(F.col(text_col))
-    fingerprint = F.lit(0)
-    for i in range(16):
-        votes = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc + F.when(
-                F.ascii(F.substring(F.md5(t), i + 1, 1)) % 2 == 1, 1
-            ).otherwise(-1),
-        )
-        fingerprint = fingerprint + F.when(votes > 0, F.lit(1 << i)) \
-            .otherwise(F.lit(0))
-    return docs.select(F.col(id_col), fingerprint.alias("simhash"))
+    return docs.select(
+        F.col(id_col),
+        _simhash_word(toks, "", 16).cast("int").alias("simhash"),
+    )
 
 
 def simhash64(docs: DataFrame, text_col: str = "text",
@@ -150,25 +223,10 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     Returns (doc_id, simhash_hi, simhash_lo).
     """
     toks = tokens_col(F.col(text_col))
-
-    def half(salt: str) -> Column:
-        word = F.lit(0)
-        for i in range(32):
-            votes = F.aggregate(
-                toks,
-                F.lit(0),
-                lambda acc, t: acc + F.when(
-                    F.ascii(F.substring(F.md5(F.concat(t, F.lit(salt))),
-                                        i + 1, 1)) % 2 == 1, 1
-                ).otherwise(-1),
-            )
-            word = word + F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return word.cast("long")
-
     return docs.select(
         F.col(id_col),
-        half("#h").alias("simhash_hi"),
-        half("").alias("simhash_lo"),
+        _simhash_word(toks, "#h", 32).alias("simhash_hi"),
+        _simhash_word(toks, "", 32).alias("simhash_lo"),
     )
 
 
@@ -183,15 +241,28 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3,
                         max_pairs: int | None = 1_000_000) -> DataFrame:
-    """Exact token-n-gram Jaccard over candidate pairs that share at
-    least one n-gram (inverted-index join), thresholded.
+    """Exact token-n-gram Jaccard pairs at ``jaccard >= threshold``,
+    found via PREFIX FILTERING (AllPairs/PPJoin family: Bayardo et al.,
+    WWW'07; Vernica et al., SIGMOD'10), thresholded and exact.
 
-    Returns (doc_a, doc_b, jacc_x10k).  The shared-ngram prejoin bounds
-    the pair space; when ``max_pairs`` is set, a result larger than the
-    cap raises ``RuntimeError`` (a hard error — never a silently
-    truncated subset).  Pass ``max_pairs=None`` to skip the guard (and
-    its extra counting action).
+    Candidate generation indexes each document only on its
+    ``|g| − ⌈t·|g|⌉ + 1`` globally RAREST n-grams (grams totally
+    ordered by document frequency): two documents with Jaccard ≥ t
+    cannot disagree on both prefixes, so the candidate set provably
+    contains every qualifying pair, while a boilerplate gram shared by
+    millions of documents lands in (almost) nobody's prefix — the
+    inverted-index buckets stay narrow at corpus scale, unlike the
+    naive share-any-gram join whose hottest bucket is quadratic.
+    Candidates are then verified EXACTLY against the full gram sets
+    (``array_intersect``), so results are identical to the naive join.
+
+    Returns (doc_a, doc_b, jacc_x10k).  When ``max_pairs`` is set, a
+    result larger than the cap raises ``RuntimeError`` (a hard error —
+    never a silently truncated subset).  Pass ``max_pairs=None`` to
+    skip the guard (and its extra counting action).
     """
+    from pyspark.sql import Window
+
     toks = tokens_col(F.col(text_col))
     grams = F.array_distinct(
         F.transform(
@@ -202,15 +273,38 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     g = docs.select(F.col(id_col).alias("doc"), grams.alias("grams"),
                     F.size(grams).alias("n_grams"))
     inv = g.select("doc", "n_grams", F.explode("grams").alias("gram"))
-    a = inv.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"),
-                   "gram")
-    b = inv.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"),
-                   "gram")
-    inter = (
-        a.join(b, "gram")
+    # global gram document frequency = the total order for prefixes
+    # (rarest first; gram string breaks ties so the order is total)
+    dfreq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc").orderBy("__df", "gram")
+    # epsilon guards float over-rounding (0.3*10 → 3.0000000000000004 →
+    # ceil 4 would SHORTEN the prefix and miss pairs); erring low only
+    # lengthens prefixes — more candidates, never a false negative
+    plen = F.col("n_grams") \
+        - F.ceil(F.lit(threshold) * F.col("n_grams") - F.lit(1e-9)) \
+        .cast("int") + 1
+    prefix = (
+        inv.join(dfreq, "gram")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= plen)
+        .select("doc", "gram")
+    )
+    cand = (
+        prefix.select(F.col("doc").alias("doc_a"), "gram")
+        .join(prefix.select(F.col("doc").alias("doc_b"), "gram"), "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("ninter"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(g.select(F.col("doc").alias("doc_a"),
+                           F.col("grams").alias("__ga"),
+                           F.col("n_grams").alias("na")), "doc_a")
+        .join(g.select(F.col("doc").alias("doc_b"),
+                       F.col("grams").alias("__gb"),
+                       F.col("n_grams").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", "na", "nb",
+                F.size(F.array_intersect("__ga", "__gb")).alias("ninter"))
     )
     jacc = F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter"))
     out = inter.filter(jacc >= threshold).select(
@@ -260,6 +354,16 @@ def neardup_clusters(docs: DataFrame, text_col: str = "text",
     )
 
     pad = "%019d"
+    # zero-padding is order-correct only for non-negative ids ("-…05" <
+    # "-…10" lexicographically but -5 > -10 numerically, which would
+    # break the claimed equivalence with the SQL min() oracle) — fail
+    # loudly rather than return wrong canonicals
+    neg = docs.select(id_col).filter(F.col(id_col) < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            f"neardup_clusters requires non-negative {id_col} values "
+            f"(got {neg[0][0]}): zero-padded lexicographic order must "
+            f"equal numeric order; bias ids into >= 0 first")
     sig = minhash_signature(docs, text_col, id_col, k=bands * rows)
     parts = []
     for j in range(bands):

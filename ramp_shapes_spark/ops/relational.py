@@ -414,7 +414,10 @@ def q_turtle_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = flat.filter(F.col("err_code").isNull()) \
         .select("seed", "tid", "s", "p", "o")
 
-    sink = "/tmp/ramp_turtle_sink"
+    # per-run sink: the applicationId keys the path so concurrent
+    # bench/correctness runs can't clobber each other's output between
+    # the write and the wholeTextFiles parse-back
+    sink = f"/tmp/ramp_turtle_sink_{spark.sparkContext.applicationId}"
     write_turtle(good, sink, prefixes={"ex": EX}, n_documents=8,
                  order_cols=("seed", "tid"), partition_col="seed")
 

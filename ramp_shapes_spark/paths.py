@@ -218,10 +218,12 @@ def _compose_universal(a, a_self: bool, b, b_self: bool):
     both have it.  ``None`` stands for the empty relation (pure
     identity when the flag is set)."""
     parts = []
+    joined = False
     if a is not None and b is not None:
         left = a.select("__u", term_key_col(F.col("node")).alias("__vk"))
         right = b.select(F.col("__u").alias("__vk"), "node", "tord")
         parts.append(left.join(right, "__vk").select("__u", "node", "tord"))
+        joined = True
     if a is not None and b_self:
         parts.append(a)
     if b is not None and a_self:
@@ -231,7 +233,11 @@ def _compose_universal(a, a_self: bool, b, b_self: bool):
     rel = parts[0]
     for other in parts[1:]:
         rel = rel.unionAll(other)
-    if len(parts) > 1:
+    # The A∘B join multiplies rows per reachability intermediate (a
+    # diamond u-a->m1/m2, both -b->v emits (u, v) twice); the path
+    # contract is a term SET per source, so dedup whenever the join
+    # contributed a part — not only on multi-part unions.
+    if joined or len(parts) > 1:
         rel = _dedup(rel, ["__u"])
     return rel, a_self and b_self
 

@@ -195,25 +195,36 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
         return _driver_cc(cur)
 
     # Dictionary ids are DEGREE-MAJOR: the id's high 20 bits hold the
-    # inverted (capped) degree, low bits a per-partition counter — so
+    # inverted (capped) degree, low bits a deterministic counter — so
     # the MINIMUM id of any neighborhood is its highest-degree node and
     # the min-parent forest roots at hubs.  On skewed graphs that is
     # what makes one phase contract the Zipf head; an arbitrary id
     # order was measured to leave 4.6M of 10M edges alive after phase 1
-    # vs ~0.5M with hub-major order.  256 partitions keep the counter
-    # under 2^41, so ids stay positive and collision-free.
+    # vs ~0.5M with hub-major order.  The counter is a pure function of
+    # the node string — hash partition (10 bits) + row_number over the
+    # partition sorted by __ns (32 bits, deterministic because __ns is
+    # unique post-groupBy) — NOT monotonically_increasing_id, whose
+    # value depends on task scheduling: ``dic`` feeds two independent
+    # join subtrees of ``enc``, and a task retry or concurrent first
+    # computation of a partition must not hand the same node two ids
+    # (that would split components).
+    from pyspark.sql import Window
+
     cap = (1 << 20) - 1
+    w = Window.partitionBy("__part").orderBy("__ns")
     dic = (
         cur.select(F.col("src").alias("__ns"))
         .unionAll(cur.select(F.col("dst").alias("__ns")))
         .groupBy("__ns").agg(F.count(F.lit(1)).alias("__deg"))
-        .repartition(256, "__ns")
+        .withColumn("__part",
+                    F.pmod(F.xxhash64("__ns"), F.lit(1024)).cast("long"))
         .select(
             "__ns",
             (F.shiftleft(
                 (F.lit(cap) - F.least(F.col("__deg"), F.lit(cap)))
                 .cast("long"), 42)
-             + F.monotonically_increasing_id()).alias("__nid"),
+             + F.shiftleft(F.col("__part"), 32)
+             + F.row_number().over(w).cast("long")).alias("__nid"),
         )
         .localCheckpoint(eager=False)
     )

@@ -119,6 +119,75 @@ def test_ngram_jaccard_identity(spark, docs):
         assert got.get((r["doc_id"], r["doc_id"] + 100000)) == 10000
 
 
+def test_ngram_prefix_filter_exact(spark, docs):
+    """The prefix-filtered plan must return EXACTLY the brute-force
+    thresholded pair set (same pairs, same jacc_x10k) — prefix
+    filtering is a candidate bound, not an approximation."""
+    from ramp_shapes_spark.ops.dedup import ngram_jaccard_pairs, tokens_col
+    base = docs.limit(25).select("doc_id", "text")
+    toks = tokens_col(F.col("text"))
+    perturbed = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when(i % 7 == 0, F.concat(t, F.lit("Y")))
+            .otherwise(t),
+        ), " ",
+    )
+    corpus = base.unionAll(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                    perturbed.alias("text"))).persist()
+
+    n, thr = 3, 0.35
+
+    def py_grams(text):
+        t = [x for x in text.split(" ") if x]
+        hi = max(len(t) - n, 0)
+        return {" ".join(t[i:i + n]) for i in range(hi + 1)}
+
+    gs = {r["doc_id"]: py_grams(r["text"]) for r in corpus.collect()}
+    ids = sorted(gs)
+    truth = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(gs[a] & gs[b])
+            union = len(gs[a] | gs[b])
+            j = inter / union if union else 0.0
+            if j >= thr:
+                truth[(a, b)] = int(j * 10000 + 0.5)
+    assert truth, "perturbation produced no qualifying pairs"
+
+    got = {(r["doc_a"], r["doc_b"]): r["jacc_x10k"]
+           for r in ngram_jaccard_pairs(corpus, threshold=thr,
+                                        n=n).collect()}
+    corpus.unpersist()
+    assert got == truth
+
+
+def test_minhash_banded_guards_raise(spark, docs):
+    """Both default-on scale guards fail loudly before the quadratic
+    within-bucket join runs."""
+    from ramp_shapes_spark.ops.dedup import minhash_banded_pairs
+    base = docs.limit(4).select("doc_id", "text")
+    dup = base.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    corpus = base.unionAll(dup)
+    with pytest.raises(RuntimeError, match="max_bucket_width"):
+        minhash_banded_pairs(corpus, max_bucket_width=1)
+    with pytest.raises(RuntimeError, match="max_pairs"):
+        minhash_banded_pairs(corpus, max_pairs=1)
+    # and with the caps lifted the pairs exist
+    pairs = minhash_banded_pairs(corpus, max_bucket_width=None,
+                                 max_pairs=None)
+    assert pairs.count() >= 4
+
+
+def test_neardup_rejects_negative_ids(spark, docs):
+    from ramp_shapes_spark.ops.dedup import neardup_clusters
+    bad = docs.limit(3).select(
+        (F.col("doc_id") - F.lit(10 ** 9)).alias("doc_id"), "text")
+    with pytest.raises(ValueError, match="non-negative"):
+        neardup_clusters(bad)
+
+
 def test_ann_brute_vs_ivf_same_bucket_agreement(spark, emb):
     """IVF restricted to the query's own bucket must agree with brute
     force restricted the same way."""

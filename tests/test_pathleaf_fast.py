@@ -20,7 +20,7 @@ EX = "http://example.com/pl#"
 
 def _graph():
     t = []
-    for n in ("p0", "p1", "p2", "p3"):
+    for n in ("p0", "p1", "p2", "p3", "p4"):
         t.append((iri(n), RDF_TYPE, iri(EX + "Parent")))
         t.append((iri(n), EX + "pid", lit(n)))
     # p1: one value through a->b
@@ -33,6 +33,14 @@ def _graph():
     t.append((iri("m2x"), EX + "b", lit("v2x")))
     # p3: intermediate with no b edge -> zero reached values
     t.append((iri("p3"), EX + "a", iri("m3")))
+    # p4: DIAMOND — two intermediates converging on the SAME value;
+    # findByPath returns a term SET, so exactly-one must see one match
+    # (regression: _compose_universal skipped dedup on the single-part
+    # A∘B composition, emitting (p4, v4) twice)
+    t.append((iri("p4"), EX + "a", iri("m4")))
+    t.append((iri("p4"), EX + "a", iri("m4x")))
+    t.append((iri("m4"), EX + "b", lit("v4")))
+    t.append((iri("m4x"), EX + "b", lit("v4")))
     # zeroOrOne link targets (IRIs)
     t.append((iri("p1"), EX + "link", iri("q1")))
     return t
@@ -80,6 +88,9 @@ def test_sequence_pathleaf_parity(spark, optional):
         f"divergence (optional={optional}):\n  fast    {fast}\n"
         f"  general {general}"
     )
+    # the diamond subject must survive exactly-one with its single
+    # distinct value on BOTH engines
+    assert "p4" in fast and fast["p4"]["v"] == "v4"
 
 
 def _zoo_shape(b):
