@@ -199,6 +199,7 @@ class FrameEngine:
         self._empty_cache: Dict[str, DataFrame] = {}
         self._fast_ok: Dict[str, bool] = {}   # fastframe qualification
         self._fast_rel: Dict[str, DataFrame] = {}  # fastframe relations
+        self._fast_errrel: Dict[str, DataFrame] = {}  # fasterrors rels
 
     # ------------------------------------------------------------------
     # public API
@@ -238,15 +239,26 @@ class FrameEngine:
                     "lang:string>, ord long",
                 )
         else:
-            if not self._track and not strict:
+            if not strict:
                 # fast-tree root: the match relation already carries
                 # focus and a dataset-order surrogate (first-seen
                 # subject tid) — the full subjects∪objects universe
                 # scan would only rediscover candidates the relation
-                # anti-filters anyway
+                # anti-filters anyway.  With the error channel ON the
+                # fast path still applies when stacks are not requested
+                # (diagnostics=False): codes come from the SAME counter
+                # relations, assembled lazily in the errors thunk
+                # (fasterrors.py) — consumers that never read errors
+                # (most pipelines, every bench query) pay nothing.
+                # diagnostics=True (fixture comparisons needing exact
+                # shape-stack strings) keeps the general compiler.
                 shape0 = self.catalog.get(root)
-                from . import fastframe
-                if fastframe.qualifies(self, shape0):
+                from . import fasterrors, fastframe
+                use_fast = fastframe.qualifies(self, shape0) and (
+                    not self._track
+                    or (not self._diag
+                        and fasterrors.error_capable(self, shape0)))
+                if use_fast:
                     rel = fastframe.record_rel(self, root)
                     if ordered:
                         # the relation's __ford is min tid AS SUBJECT;
@@ -268,6 +280,10 @@ class FrameEngine:
                         matches = rel.selectExpr(
                             "__ffocus AS focus", "__ford AS ord",
                             "__fval AS value")
+                    if self._track:
+                        return FrameResult(
+                            matches,
+                            lambda: fasterrors.root_errors(self, root))
                     return FrameResult(
                         matches, lambda: self._empty(ERROR_FIELDS))
             uni = self.universe()

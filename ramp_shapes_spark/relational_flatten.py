@@ -39,9 +39,10 @@ from pyspark.sql.types import (
 )
 
 from .shapes import (
-    AnyOfShape, InversePath, ListShape, LiteralShape, MapShape,
-    OptionalShape, PredicatePath, RecordShape, ResourceShape, SetShape,
-    ShapeCatalog, ShapeID, is_self_path,
+    AlternativePath, AnyOfShape, InversePath, ListShape, LiteralShape,
+    MapShape, OneOrMorePath, OptionalShape, PredicatePath, RecordShape,
+    ResourceShape, SequencePath, SetShape, ShapeCatalog, ShapeID,
+    ZeroOrMorePath, ZeroOrOnePath, is_self_path,
 )
 from .sqlutil import s_str
 from .terms import (
@@ -220,6 +221,30 @@ def _edge(subj: str, path, obj: str) -> str:
     raise UnsupportedShape(f"path {path!r}")
 
 
+def _path_bnode_count(path) -> int:
+    """Generate-phase 'path' blank nodes one ``generatePropertyPath``
+    invocation allocates (flatten.ts:302-357 / pyflatten.generate_path):
+    a sequence of n elements chains through n-1 fresh nodes (each
+    allocated BEFORE its step's inner nodes), alternatives generate the
+    first branch only, closures emit a single inner step."""
+    if isinstance(path, PredicatePath):
+        return 0
+    if isinstance(path, InversePath):
+        return _path_bnode_count(path.inverse)
+    if isinstance(path, SequencePath):
+        seq = path.sequence
+        if not seq:
+            return 0
+        return (len(seq) - 1) + sum(_path_bnode_count(e) for e in seq)
+    if isinstance(path, AlternativePath):
+        if not path.alternatives:
+            return 0
+        return _path_bnode_count(path.alternatives[0])
+    if isinstance(path, (ZeroOrMorePath, ZeroOrOnePath, OneOrMorePath)):
+        return _path_bnode_count(path.path)
+    raise UnsupportedShape(f"path {path!r}")
+
+
 class _Compiler:
     """Compiles one shape into an array<triple> SQL expr.
 
@@ -247,6 +272,128 @@ class _Compiler:
                  f"CAST({counter} AS STRING))")
         return (f"named_struct('kind', 'bnode', 'value', {ident}, "
                 f"'dt', CAST(NULL AS STRING), 'lang', CAST(NULL AS STRING))")
+
+    # -- property-path quad generation (flatten.ts:302-357) -------------
+    def path_edges(self, s: str, o: str, path, gen_ctr: str,
+                   s_lit: bool, o_lit: bool) -> str:
+        """array<triple> expr of ``generate_path(s, path, o)``.
+
+        Sequences chain through fresh generate-phase 'path' blank
+        nodes, numbered ``gen_ctr + 1 ..`` in the interpreter's
+        allocation order (each intermediate BEFORE its step's inner
+        nodes); inverse swaps subject/object; alternatives take the
+        first branch; closure paths emit one inner step; the empty
+        sequence emits nothing.  ``s_lit``/``o_lit`` flag ends that may
+        hold literal terms at runtime: a literal landing in subject
+        position raises error 403 in the interpreter, so such shapes
+        leave the relational fragment (the interpreter fallback then
+        reports the error rows properly)."""
+        if isinstance(path, PredicatePath):
+            if s_lit:
+                raise UnsupportedShape(
+                    "literal term in subject position (interpreter "
+                    "error 403)")
+            return (f"array(named_struct('s', {s}, "
+                    f"'p', {s_str(path.predicate)}, 'o', {o}))")
+        if isinstance(path, InversePath):
+            return self.path_edges(o, s, path.inverse, gen_ctr,
+                                   o_lit, s_lit)
+        if isinstance(path, SequencePath):
+            seq = path.sequence
+            if not seq:
+                return EMPTY_TRIPLES
+            class _PathNode:  # bnode prefix carrier for self._bnode
+                type = "path"
+
+            parts: List[str] = []
+            consumed = 0
+            cur, cur_lit = s, s_lit
+            for i, element in enumerate(seq):
+                if i == len(seq) - 1:
+                    nxt, nxt_lit = o, o_lit
+                else:
+                    consumed += 1
+                    nxt = self._bnode(_PathNode,
+                                      f"({gen_ctr} + {consumed})")
+                    nxt_lit = False
+                parts.append(self.path_edges(
+                    cur, nxt, element, f"({gen_ctr} + {consumed})",
+                    cur_lit, nxt_lit))
+                consumed += _path_bnode_count(element)
+                cur, cur_lit = nxt, nxt_lit
+            parts = [p for p in parts if p != EMPTY_TRIPLES]
+            if not parts:
+                return EMPTY_TRIPLES
+            return parts[0] if len(parts) == 1 else \
+                f"concat({', '.join(parts)})"
+        if isinstance(path, AlternativePath):
+            if not path.alternatives:
+                return EMPTY_TRIPLES
+            return self.path_edges(s, o, path.alternatives[0], gen_ctr,
+                                   s_lit, o_lit)
+        if isinstance(path, (ZeroOrMorePath, ZeroOrOnePath,
+                             OneOrMorePath)):
+            return self.path_edges(s, o, path.path, gen_ctr, s_lit, o_lit)
+        raise UnsupportedShape(f"path {path!r}")
+
+    def _edge_count_expr(self, vshape, pv: str) -> str:
+        """Number of ``generate_path`` invocations this property value
+        produces (one per matched node: leaves/records once, set/map
+        items each, lists once for the head-node edge)."""
+        if isinstance(vshape, OptionalShape):
+            inner = self._edge_count_expr(
+                self.catalog.get(vshape.item_shape), pv)
+            return f"(CASE WHEN ({pv}) IS NULL THEN 0 ELSE {inner} END)"
+        if isinstance(vshape, (SetShape, MapShape)):
+            return f"coalesce(size({pv}), 0)"
+        if isinstance(vshape, ListShape):
+            return f"(CASE WHEN ({pv}) IS NULL THEN 0 ELSE 1 END)"
+        return "1"
+
+    def _static_edge_count(self, vshape) -> Optional[int]:
+        if isinstance(vshape, (ResourceShape, LiteralShape, RecordShape,
+                               AnyOfShape)):
+            return 1
+        return None  # optional/set/map/list: data-dependent
+
+    def _prop_gen_static(self, prop, vshape) -> Optional[int]:
+        """Static generate-phase count of one property: edge-path nodes
+        plus the value's own (list tails, nested paths)."""
+        P = _path_bnode_count(prop.path)
+        if prop.transient:
+            if not P:
+                return 0
+            if isinstance(vshape, (ResourceShape, LiteralShape)) and \
+                    vshape.value is not None:
+                return P  # constant → one edge
+            if isinstance(vshape, ListShape):
+                return P  # synthesized [] → one nil edge
+            return 0      # optional/set/map synthesize empty → no edge
+        sub = self._static_gen_count(vshape)
+        if sub is None:
+            return None
+        if not P:
+            return sub
+        ec = self._static_edge_count(vshape)
+        if ec is None:
+            return None
+        return ec * P + sub
+
+    def _prop_gen_expr(self, prop, vshape, pv: str) -> str:
+        static = self._prop_gen_static(prop, vshape)
+        if static is not None:
+            return str(static)
+        P = _path_bnode_count(prop.path)
+        parts: List[str] = []
+        if P:
+            parts.append(f"({self._edge_count_expr(vshape, pv)} * {P})")
+        g = self._gen_count_expr(vshape, pv)
+        if g != "0":
+            parts.append(g)
+        if not parts:
+            return "0"
+        return parts[0] if len(parts) == 1 else \
+            "(" + " + ".join(parts) + ")"
 
     # -- blank-node counting -------------------------------------------
     def _has_self_subject(self, shape: RecordShape) -> bool:
@@ -354,10 +501,10 @@ class _Compiler:
         if isinstance(shape, RecordShape):
             total = 0
             for prop in shape.type_properties + shape.properties:
-                if prop.transient or is_self_path(prop.path):
+                if is_self_path(prop.path):
                     continue
-                sub = self._static_gen_count(
-                    self.catalog.get(prop.value_shape))
+                sub = self._prop_gen_static(
+                    prop, self.catalog.get(prop.value_shape))
                 if sub is None:
                     return None
                 total += sub
@@ -381,15 +528,19 @@ class _Compiler:
             return (f"(CASE WHEN ({value}) IS NULL OR size({value}) <= 1 "
                     f"THEN 0 ELSE size({value}) - 1 END)")
         if isinstance(shape, (SetShape, MapShape)):
-            raise UnsupportedShape(
-                "set/map items generating tail-phase blank nodes")
+            per = self._static_gen_count(self.catalog.get(shape.item_shape))
+            if per is None:
+                raise UnsupportedShape(
+                    "set/map items with data-dependent generate-phase "
+                    "blank-node counts")
+            return f"(coalesce(size({value}), 0) * {per})"
         if isinstance(shape, RecordShape):
             parts = ["0"]
             for prop in shape.type_properties + shape.properties:
-                if prop.transient or is_self_path(prop.path):
+                if is_self_path(prop.path):
                     continue
-                parts.append(self._gen_count_expr(
-                    self.catalog.get(prop.value_shape),
+                parts.append(self._prop_gen_expr(
+                    prop, self.catalog.get(prop.value_shape),
                     f"({value}).{_q(prop.name)}"))
             return "(" + " + ".join(parts) + ")"
         raise UnsupportedShape(f"{shape.type} shape")
@@ -424,18 +575,24 @@ class _Compiler:
                 # transient synthesis (flatten.ts:238-251): constants
                 # emit; optional/set/map synthesize empty → no triples;
                 # lists synthesize [] → the nil edge
+                P = _path_bnode_count(prop.path)
                 if isinstance(vshape, (ResourceShape, LiteralShape)) and \
                         vshape.value is not None:
-                    parts.append(
-                        f"array({_edge(subj, prop.path, _const_term(vshape.value))})")
-                elif isinstance(vshape, (OptionalShape, SetShape)):
+                    parts.append(self.path_edges(
+                        subj, _const_term(vshape.value), prop.path,
+                        gen_offset, False, vshape.value.kind == "lit"))
+                elif isinstance(vshape, (OptionalShape, SetShape,
+                                         MapShape)):
                     continue
                 elif isinstance(vshape, ListShape):
                     nil = _const_term(vshape.nil or Term("iri", RDF_NIL))
-                    parts.append(f"array({_edge(subj, prop.path, nil)})")
+                    parts.append(self.path_edges(
+                        subj, nil, prop.path, gen_offset, False, False))
                 else:
                     raise UnsupportedShape(
                         f"transient property {prop.name} synthesis")
+                if P:
+                    gen_offset = f"({gen_offset} + {P})"
                 continue
             if is_self_path(prop.path):
                 continue  # the subject itself; no edge emitted
@@ -443,19 +600,25 @@ class _Compiler:
             parts.append(
                 self.prop_triples(prop, vshape, pv, subj, offset, gen_offset))
             offset = f"({offset} + {self._count_expr(vshape, pv)})"
-            gen_offset = f"({gen_offset} + {self._gen_count_expr(vshape, pv)})"
+            adv = self._prop_gen_expr(prop, vshape, pv)
+            if adv != "0":
+                gen_offset = f"({gen_offset} + {adv})"
         if not parts:
             return EMPTY_TRIPLES
         return f"concat({', '.join(parts)})"
 
     def prop_triples(self, prop, vshape, pv: str, subj: str,
                      offset: str, gen_offset: str = "0") -> str:
+        path = prop.path
+        P = _path_bnode_count(path)
         optional = False
         if isinstance(vshape, OptionalShape):
             optional = True
             vshape = self.catalog.get(vshape.item_shape)
         if isinstance(vshape, (ResourceShape, LiteralShape)):
-            one = f"array({_edge(subj, prop.path, _leaf_term(vshape, pv))})"
+            one = self.path_edges(
+                subj, _leaf_term(vshape, pv), path, gen_offset,
+                False, isinstance(vshape, LiteralShape))
             if optional:
                 return (f"CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
                         f"ELSE {one} END")
@@ -464,13 +627,20 @@ class _Compiler:
             item = self.catalog.get(vshape.item_shape)
             if isinstance(item, (ResourceShape, LiteralShape)):
                 x = self._var()
-                body = f"array({_edge(subj, prop.path, _leaf_term(item, x))})"
-                arr = f"flatten(transform({pv}, {x} -> {body}))"
+                item_gen = (f"({gen_offset} + {x}_i * {P})"
+                            if P else gen_offset)
+                body = self.path_edges(
+                    subj, _leaf_term(item, x), path, item_gen,
+                    False, isinstance(item, LiteralShape))
+                arr = f"flatten(transform({pv}, ({x}, {x}_i) -> {body}))"
                 return f"coalesce({arr}, {EMPTY_TRIPLES})"
             if isinstance(item, AnyOfShape):
+                if P:
+                    raise UnsupportedShape(
+                        "anyOf value under a blank-node-generating path")
                 self._static_count(item)  # raises unless zero-bnode
                 x = self._var()
-                body = self._anyof_edges(item, x, subj, prop.path)
+                body = self._anyof_edges(item, x, subj, path)
                 arr = f"flatten(transform({pv}, {x} -> {body}))"
                 return f"coalesce({arr}, {EMPTY_TRIPLES})"
             if isinstance(item, RecordShape):
@@ -478,15 +648,28 @@ class _Compiler:
                 if per is None:
                     raise UnsupportedShape(
                         "set items with data-dependent blank-node counts")
+                g = self._static_gen_count(item)
+                if g is None:
+                    raise UnsupportedShape(
+                        "set items with data-dependent generate-phase "
+                        "blank-node counts")
                 x = self._var()
                 # element i's blank nodes occupy
                 # (offset + i*per, offset + (i+1)*per]; the element's own
-                # subject counter comes LAST (children first)
+                # subject counter comes LAST (children first).  Generate-
+                # phase: per item, edge-path nodes (P) first, then the
+                # item body's own (g) — stride P+g.
                 elem_off = f"({offset} + {x}_i * {per})"
                 subj_ctr = f"({elem_off} + {per})"
                 child_subj = self.record_subject(item, x, subj_ctr)
-                edge = f"array({_edge(subj, prop.path, child_subj)})"
-                body = self.record_triples(item, x, child_subj, elem_off)
+                stride = P + g
+                item_gen = (f"({gen_offset} + {x}_i * {stride})"
+                            if stride else gen_offset)
+                edge = self.path_edges(subj, child_subj, path, item_gen,
+                                       False, False)
+                body = self.record_triples(
+                    item, x, child_subj, elem_off,
+                    f"({item_gen} + {P})" if P else item_gen)
                 arr = (f"flatten(transform({pv}, ({x}, {x}_i) -> "
                        f"concat({edge}, {body})))")
                 return f"coalesce({arr}, {EMPTY_TRIPLES})"
@@ -501,28 +684,46 @@ class _Compiler:
             item = self.catalog.get(vshape.item_shape)
             if isinstance(item, (ResourceShape, LiteralShape)):
                 x = self._var()
-                body = (f"array({_edge(subj, prop.path, _leaf_term(item, f'{x}.value'))})")
-                arr = f"flatten(transform(map_entries({pv}), {x} -> {body}))"
+                item_gen = (f"({gen_offset} + {x}_i * {P})"
+                            if P else gen_offset)
+                body = self.path_edges(
+                    subj, _leaf_term(item, f"{x}.value"), path, item_gen,
+                    False, isinstance(item, LiteralShape))
+                arr = (f"flatten(transform(map_entries({pv}), "
+                       f"({x}, {x}_i) -> {body}))")
                 return f"coalesce({arr}, {EMPTY_TRIPLES})"
             if isinstance(item, RecordShape):
                 per = self._static_count(item)
                 if per is None:
                     raise UnsupportedShape(
                         "map items with data-dependent blank-node counts")
+                g = self._static_gen_count(item)
+                if g is None:
+                    raise UnsupportedShape(
+                        "map items with data-dependent generate-phase "
+                        "blank-node counts")
                 x = self._var()
                 elem_off = f"({offset} + {x}_i * {per})"
                 subj_ctr = f"({elem_off} + {per})"
                 child_subj = self.record_subject(item, f"{x}.value", subj_ctr)
-                edge = f"array({_edge(subj, prop.path, child_subj)})"
-                body = self.record_triples(item, f"{x}.value", child_subj,
-                                           elem_off)
+                stride = P + g
+                item_gen = (f"({gen_offset} + {x}_i * {stride})"
+                            if stride else gen_offset)
+                edge = self.path_edges(subj, child_subj, path, item_gen,
+                                       False, False)
+                body = self.record_triples(
+                    item, f"{x}.value", child_subj, elem_off,
+                    f"({item_gen} + {P})" if P else item_gen)
                 arr = (f"flatten(transform(map_entries({pv}), "
                        f"({x}, {x}_i) -> concat({edge}, {body})))")
                 return f"coalesce({arr}, {EMPTY_TRIPLES})"
             raise UnsupportedShape(f"map item shape {item.type}")
         if isinstance(vshape, AnyOfShape):
+            if P:
+                raise UnsupportedShape(
+                    "anyOf value under a blank-node-generating path")
             self._static_count(vshape)  # raises unless zero-bnode
-            body = self._anyof_edges(vshape, pv, subj, prop.path)
+            body = self._anyof_edges(vshape, pv, subj, path)
             if optional:
                 return (f"CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
                         f"ELSE {body} END")
@@ -534,9 +735,11 @@ class _Compiler:
             own = self._count_expr(vshape, pv)
             subj_ctr = f"({offset} + {own})"  # children first, own last
             child_subj = self.record_subject(vshape, pv, subj_ctr)
-            edge = f"array({_edge(subj, prop.path, child_subj)})"
-            body = self.record_triples(vshape, pv, child_subj, offset,
-                                       gen_offset)
+            edge = self.path_edges(subj, child_subj, path, gen_offset,
+                                   False, False)
+            body = self.record_triples(
+                vshape, pv, child_subj, offset,
+                f"({gen_offset} + {P})" if P else gen_offset)
             full = f"concat({edge}, {body})"
             if optional:
                 return (f"CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
@@ -562,10 +765,18 @@ class _Compiler:
         item = self.catalog.get(vshape.item_shape)
         head = vshape.head_path or PredicatePath(RDF_FIRST)
         tail = vshape.tail_path or PredicatePath(RDF_REST)
+        if _path_bnode_count(head) or _path_bnode_count(tail):
+            raise UnsupportedShape(
+                "list head/tail paths generating blank nodes")
         nil = _const_term(vshape.nil or Term("iri", RDF_NIL))
         n = f"size({pv})"
         x = self._var()
         i = f"{x}_i"
+        # the property's own edge path consumes the first P generate
+        # counters of a non-null list (one generate_path invocation
+        # whether the list is empty or not); tail links follow
+        P = _path_bnode_count(prop.path)
+        go = f"({gen_offset} + {P})" if P else gen_offset
 
         class _ListNode:  # bnode prefix carrier for self._bnode
             type = "list"
@@ -588,27 +799,34 @@ class _Compiler:
 
         head_ctr = f"({offset} + {n} * {per} + 1)"
         cur = (f"(CASE WHEN {i} = 0 THEN {list_bnode(head_ctr)} "
-               f"ELSE {list_bnode(f'({gen_offset} + {i})')} END)")
+               f"ELSE {list_bnode(f'({go} + {i})')} END)")
         nxt = (f"(CASE WHEN {i} = {n} - 1 THEN {nil} "
-               f"ELSE {list_bnode(f'({gen_offset} + {i} + 1)')} END)")
-        tail_edge = f"array({_edge(cur, tail, nxt)})"
+               f"ELSE {list_bnode(f'({go} + {i} + 1)')} END)")
+        tail_edge = self.path_edges(cur, nxt, tail, "0", False, False)
         if isinstance(item, (ResourceShape, LiteralShape)):
-            head_edge = f"array({_edge(cur, head, _leaf_term(item, x))})"
+            head_edge = self.path_edges(
+                cur, _leaf_term(item, x), head, "0",
+                False, isinstance(item, LiteralShape))
             body = f"concat({head_edge}, {tail_edge})"
         else:
             elem_off = f"({offset} + {i} * {per})"
             subj_ctr = f"({elem_off} + {per})"
             child_subj = self.record_subject(item, x, subj_ctr)
-            head_edge = f"array({_edge(cur, head, child_subj)})"
+            head_edge = self.path_edges(cur, child_subj, head, "0",
+                                        False, False)
             child_body = self.record_triples(item, x, child_subj, elem_off)
             body = f"concat({head_edge}, {child_body}, {tail_edge})"
 
         arr = f"flatten(transform({pv}, ({x}, {i}) -> {body}))"
         first = list_bnode(head_ctr)
-        nonempty = f"concat(array({_edge(subj, prop.path, first)}), {arr})"
+        prop_edge_full = self.path_edges(subj, first, prop.path,
+                                         gen_offset, False, False)
+        prop_edge_nil = self.path_edges(subj, nil, prop.path,
+                                        gen_offset, False, False)
+        nonempty = f"concat({prop_edge_full}, {arr})"
         return (f"(CASE WHEN ({pv}) IS NULL THEN {EMPTY_TRIPLES} "
                 f"WHEN size({pv}) = 0 "
-                f"THEN array({_edge(subj, prop.path, nil)}) "
+                f"THEN {prop_edge_nil} "
                 f"ELSE {nonempty} END)")
 
     # -- anyOf over a VARIANT-typed value (flatten.ts:363-384) ----------
@@ -653,7 +871,8 @@ class _Compiler:
                 if v.value is not None:
                     pred = (f"({pred} AND {val} = "
                             f"{_const_value_sql(v.value)})")
-                out.append((pred, f"array({_edge(subj, path, _leaf_term(v, val))})"))
+                out.append((pred, self.path_edges(
+                    subj, _leaf_term(v, val), path, "0", False, True)))
             elif isinstance(v, ResourceShape):
                 if v.keep_as_term or v.vocabulary is not None:
                     raise UnsupportedShape("keepAsTerm/vocabulary variant")
@@ -664,7 +883,8 @@ class _Compiler:
                 if v.value is not None:
                     pred = (f"({pred} AND {val} = "
                             f"{_const_value_sql(v.value)})")
-                out.append((pred, f"array({_edge(subj, path, _iri_or_bnode(val))})"))
+                out.append((pred, self.path_edges(
+                    subj, _iri_or_bnode(val), path, "0", False, False)))
             elif isinstance(v, SetShape):
                 item = self.catalog.get(v.item_shape)
                 if not isinstance(item, (ResourceShape, LiteralShape)) or \
@@ -675,7 +895,9 @@ class _Compiler:
                 ddl = _leaf_ddl(item)
                 arr = f"try_variant_get({pv}, '$', 'array<{ddl}>')"
                 x = self._var()
-                body = f"array({_edge(subj, path, _leaf_term(item, x))})"
+                body = self.path_edges(
+                    subj, _leaf_term(item, x), path, "0",
+                    False, isinstance(item, LiteralShape))
                 out.append((
                     f"({sov} LIKE 'ARRAY%')",
                     f"coalesce(flatten(transform({arr}, {x} -> {body})), "

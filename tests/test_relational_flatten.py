@@ -416,3 +416,119 @@ def test_map_flatten_bnodes_byte_identical(spark):
         gset = {(s.key(), p, o.key()) for s, p, o in got.get(str(i), [])}
         wset = {(s.key(), p, o.key()) for s, p, o in want}
         assert gset == wset, f"value {i}: {gset ^ wset}"
+
+
+# ---------------------------------------------------------------------------
+# composite property paths (flatten.ts:302-357 generatePropertyPath)
+# ---------------------------------------------------------------------------
+
+def _path_catalog():
+    """Every composite-path construct the generate fragment covers:
+    sequence chains (fresh intermediate bnodes), inverse inside a
+    sequence, alternative-first, closure-as-single-step, a set over a
+    sequence path (per-item path bnodes), a nested record behind a
+    sequence path, a transient constant over a sequence path, and a
+    LIST alongside — so path bnode counters interleave with list tail
+    counters in one record."""
+    from ramp_shapes_spark.shapes import (
+        AlternativePath, OneOrMorePath, SequencePath, ZeroOrOnePath,
+    )
+
+    b = ShapeBuilder()
+    child = b.record(
+        EX + "Child",
+        properties=[prop("cn", EX + "cn", b.literal(datatype=XSD_STRING))],
+    )
+    root = b.record(
+        EX + "PathRoot",
+        type_properties=[prop(
+            "t",
+            SequencePath((PredicatePath(RDF_TYPE),
+                          PredicatePath(EX + "subtype"))),
+            b.constant(iri(EX + "PathRoot")), transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            # 2-step chain to a literal: one intermediate bnode
+            prop("via", SequencePath((PredicatePath(EX + "a"),
+                                      PredicatePath(EX + "b"))),
+                 b.literal(datatype=XSD_STRING)),
+            # 3-step chain with an INVERSE middle step
+            prop("inv3",
+                 SequencePath((PredicatePath(EX + "x"),
+                               InversePath(PredicatePath(EX + "y")),
+                               PredicatePath(EX + "z"))),
+                 b.resource(only_named=True)),
+            # alternative: first branch generates
+            prop("alt", AlternativePath((
+                SequencePath((PredicatePath(EX + "p"),
+                              PredicatePath(EX + "q"))),
+                PredicatePath(EX + "r"))),
+                 b.literal(datatype=XSD_INTEGER)),
+            # closures: one inner step
+            prop("zoo", ZeroOrOnePath(PredicatePath(EX + "w")),
+                 b.optional(b.literal(datatype=XSD_STRING))),
+            prop("oom", OneOrMorePath(SequencePath(
+                (PredicatePath(EX + "m"), PredicatePath(EX + "n")))),
+                 b.literal(datatype=XSD_STRING)),
+            # set over a sequence path: per-item intermediates
+            prop("tags", SequencePath((PredicatePath(EX + "tag"),
+                                       PredicatePath(EX + "label"))),
+                 b.set_of(b.literal(datatype=XSD_STRING))),
+            # record behind a sequence path (edge bnodes precede body)
+            prop("kid", SequencePath((PredicatePath(EX + "has"),
+                                      PredicatePath(EX + "kid"))),
+                 child),
+            # list AFTER the path properties: tail counters continue
+            prop("items", EX + "items",
+                 b.list_of(b.literal(datatype=XSD_STRING))),
+        ],
+    )
+    return b.catalog, root
+
+
+PATH_VALUES = [
+    {"id": "pr:1", "via": "v1", "inv3": "node:n1", "alt": 7, "zoo": "z",
+     "oom": "deep", "tags": ["t1", "t2", "t3"],
+     "kid": {"cn": "c1"}, "items": ["i1", "i2"]},
+    {"id": "pr:2", "via": "v2", "inv3": "node:n2", "alt": 0,
+     "oom": "d2", "tags": [], "kid": {"cn": "c2"}, "items": []},
+]
+
+
+def test_sequence_paths_match_interpreter(spark):
+    catalog, root = _path_catalog()
+    assert supports_shape(catalog, root)
+    got = _spark_triples(spark, catalog, root, PATH_VALUES)
+    for i, v in enumerate(PATH_VALUES):
+        want = flatten_py(catalog, root, v)
+        assert triple_sets_isomorphic(got.get(str(i), []), want), (
+            f"value {i}:\n got {sorted(got.get(str(i), []))}\n"
+            f"want {sorted(want)}")
+
+
+def test_sequence_paths_bnodes_byte_identical(spark):
+    from ramp_shapes_spark.pyflatten import deterministic_bnode_generator
+    catalog, root = _path_catalog()
+    got = _spark_triples(spark, catalog, root, PATH_VALUES)
+    for i, v in enumerate(PATH_VALUES):
+        want = flatten_py(catalog, root, v,
+                          deterministic_bnode_generator(str(i)))
+        gset = {(s.key(), p, o.key()) for s, p, o in got.get(str(i), [])}
+        wset = {(s.key(), p, o.key()) for s, p, o in want}
+        assert gset == wset, f"value {i}: {sorted(gset ^ wset)}"
+
+
+def test_literal_under_inverse_path_falls_back():
+    """A literal leaf reached through an inverse-final path would need
+    the literal in subject position — interpreter error 403; the
+    relational fragment rejects the shape statically."""
+    b = ShapeBuilder()
+    rid = b.record(
+        EX + "BadInv",
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("v", InversePath(PredicatePath(EX + "of")),
+                 b.literal(datatype=XSD_STRING)),
+        ],
+    )
+    assert not supports_shape(b.catalog, rid)
