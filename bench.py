@@ -7,6 +7,15 @@ frame→flatten→canonicalize→count path.  Secondary per-query wall times
 cover the operator surface (shape-engine joins/closures, dedup, ANN,
 connected components).
 
+Trust model (round-4 verdict: a degraded host window inverted several
+per-query deltas inside one long-lived session): every query FAMILY
+runs in its OWN fresh JVM (subprocess), so cross-query cache/GC/
+code-cache pollution cannot accumulate and one bad host window is
+confined to one family; within a family, reps are INTERLEAVED
+round-robin across the query list, so each query's min-of-N samples
+are drawn from separated time windows.  Per-family wall clock and
+load averages are recorded alongside the parent-level telemetry.
+
 Scaling evidence (two parallelism levels on the same input) is produced
 by tools/scaling.py, which invokes the same pipeline workload.
 """
@@ -25,24 +34,42 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # transcript corpus scale for the pipeline throughput measurement
 N_CONV = int(os.environ.get("SPARK_GRAFT_NCONV", "3000"))
 
+# query families — one fresh JVM each; the union must cover the whole
+# queries() surface (anything missing lands in the auto "extra" family)
+QUERY_GROUPS = {
+    "frame": [
+        "frame_supplier_record", "frame_nation_suppliers_set",
+        "frame_order_optional_union", "frame_map_nations",
+        "vocabulary_region", "flatten_roundtrip_counts",
+        "flatten_relational_counts", "flatten_list_counts",
+        "turtle_roundtrip_counts",
+    ],
+    "paths": [
+        "path_sequence_region", "path_closure_chain", "path_one_or_more",
+        "path_zero_or_one", "path_alternative_places",
+    ],
+    "dedup": [
+        "dedup_exact", "minhash_signature", "minhash_pairs",
+        "minhash_banded_pairs", "ngram_jaccard_pairs", "neardup_clusters",
+        "simhash", "simhash64",
+    ],
+    "text": [
+        "token_stats", "quality_score", "lang_guess", "doc_fingerprint",
+        "bpe_token_counts", "sample_split_counts",
+        "sample_stratified_counts", "media_decode_dims",
+    ],
+    "ann": [
+        "ann_brute_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
+        "cosine_dup_pairs",
+    ],
+    "graph": [
+        "events_sessions", "cc_customer_chains",
+    ],
+}
 
-def main() -> None:
-    import subprocess
 
+def _session():
     from pyspark.sql import SparkSession
-
-    # contention telemetry: a leftover Spark JVM (e.g. from a killed
-    # interactive run) or a busy host depresses every number 30%+;
-    # record the evidence so a slow artifact can be read correctly
-    try:
-        # anchored to the java binary path so shells whose command line
-        # merely CONTAINS the word (e.g. a pkill wrapper) don't count
-        n_jvms = int(subprocess.run(
-            ["pgrep", "-fc", r"^\S*/java .*SparkSubmit"],
-            capture_output=True, text=True).stdout.strip() or 0)
-    except Exception:
-        n_jvms = -1
-    load1 = round(os.getloadavg()[0], 2)
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -65,130 +92,185 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _interleaved(spark, names, n_reps: int) -> dict:
+    """min-of-N per query with reps ROUND-ROBIN across the family, so
+    each query's samples come from separated time windows."""
+    import __spark_entry__ as entrymod
+
+    allq = entrymod.queries()
+    times: dict = {n: [] for n in names}
+    for _ in range(n_reps):
+        for name in names:
+            t0 = time.time()
+            allq[name](spark, SF_DIR).count()
+            times[name].append(time.time() - t0)
+    return {n: round(min(ts), 3) for n, ts in times.items()}
+
+
+def run_group(group: str) -> dict:
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    out: dict = {"queries": {}}
+    spark = _session()
+
+    if group == "pipeline":
+        from ramp_shapes_spark.pipeline.datagen import generate_transcripts
+        from ramp_shapes_spark.pipeline.run import run_pipeline
+
+        n_pipe_reps = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REPS",
+                                         str(max(3, n_reps))))
+        t0 = time.time()
+        turns = generate_transcripts(
+            spark, N_CONV, n_entities=2000, partitions=int(CPUS)
+        ).localCheckpoint(eager=True)
+        n_turns = turns.count()
+        out["gen_sec"] = round(time.time() - t0, 3)
+
+        pipe_times = []
+        kg_times = []
+        import __spark_entry__ as entrymod
+        kgq = entrymod.queries()["kg_turn_records"]
+        for rep in range(n_pipe_reps):
+            t0 = time.time()
+            result = run_pipeline(spark, turns, track_errors=False)
+            out["n_triples"] = result.triples.count()
+            pipe_times.append(time.time() - t0)
+            if rep < max(2, n_reps):  # interleave the kg-frame query
+                t0 = time.time()
+                kgq(spark, SF_DIR).count()
+                kg_times.append(time.time() - t0)
+        pipe_t = min(pipe_times)
+        out["queries"]["kg_pipeline"] = round(pipe_t, 3)
+        out["queries"]["kg_turn_records"] = round(min(kg_times), 3)
+        out["n_turns"] = n_turns
+        out["metric"] = "kg_pipeline_turns_per_sec"
+        out["value"] = round(n_turns / pipe_t, 2)
+        out["unit"] = "turns/sec"
+    elif group == "graph":
+        out["queries"].update(
+            _interleaved(spark, QUERY_GROUPS["graph"], n_reps))
+        # connected components on a Zipf-skewed 10^7-edge graph
+        # (contraction + hub-major ids; phases/rounds reported)
+        from pyspark.sql import functions as F
+
+        from ramp_shapes_spark.pipeline.canonicalize import (
+            connected_components,
+        )
+        n_edges = int(os.environ.get("SPARK_GRAFT_CC_EDGES", "10000000"))
+        n_nodes = n_edges  # one out-edge per node
+        u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_003)) + 0.5) \
+            / 1_000_003.0
+        zipf_dst = F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(3.0)))
+        edges = (
+            spark.range(0, n_edges, 1, int(CPUS) * 2)
+            .select(
+                F.concat(F.lit("n"), F.col("id").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), zipf_dst.cast("long").cast("string"))
+                .alias("dst"),
+            )
+        )
+        cc_stats: dict = {}
+        t0 = time.time()
+        n_cc = connected_components(edges, hot_k=64, stats=cc_stats).count()
+        out["queries"]["cc_zipf_10m"] = round(time.time() - t0, 3)
+        out["cc_zipf_edges"] = n_edges
+        out["cc_zipf_rounds"] = cc_stats.get("rounds")
+        out["cc_zipf_nodes"] = n_cc
+    else:
+        names = QUERY_GROUPS.get(group)
+        if names is None and group.startswith("extra:"):
+            names = group.split(":", 1)[1].split(",")
+        if not names:
+            raise SystemExit(f"unknown bench group {group!r}")
+        out["queries"].update(_interleaved(spark, names, n_reps))
+
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    import subprocess
+
+    # contention telemetry: a leftover Spark JVM (e.g. from a killed
+    # interactive run) or a busy host depresses every number 30%+;
+    # record the evidence so a slow artifact can be read correctly
+    try:
+        # anchored to the java binary path so shells whose command line
+        # merely CONTAINS the word (e.g. a pkill wrapper) don't count
+        n_jvms = int(subprocess.run(
+            ["pgrep", "-fc", r"^\S*/java .*SparkSubmit"],
+            capture_output=True, text=True).stdout.strip() or 0)
+    except Exception:
+        n_jvms = -1
+    load1 = round(os.getloadavg()[0], 2)
 
     import __spark_entry__ as entrymod
-    from ramp_shapes_spark.pipeline.datagen import generate_transcripts
-    from ramp_shapes_spark.pipeline.run import run_pipeline
+    covered = {q for qs in QUERY_GROUPS.values() for q in qs} | {
+        "kg_pipeline", "kg_turn_records", "cc_zipf_10m"}
+    extras = sorted(q for q in entrymod.queries() if q not in covered)
 
-    queries = {}
-    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    # the pipeline headline is the noisiest number on this host
-    # (identical min-of-3 runs measured 7.7-29.1 s across invocations);
-    # one extra rep materially tightens the min
-    n_pipe_reps = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_REPS",
-                                     str(max(3, n_reps))))
+    groups = ["pipeline", "frame", "paths", "dedup", "text", "ann",
+              "graph"]
+    if extras:
+        groups.append("extra:" + ",".join(extras))
 
-    # -- flagship: pipeline throughput ---------------------------------
-    # min-of-N: each measurement is a fresh pipeline over the same
-    # checkpointed input; min discards one-off session/JIT/cache warmup
-    # noise (r2 showed 2.5-3.5x swings on sub-second queries measured
-    # once in a shared session)
-    t0 = time.time()
-    turns = generate_transcripts(
-        spark, N_CONV, n_entities=2000, partitions=int(CPUS)
-    ).localCheckpoint(eager=True)
-    n_turns = turns.count()
-    gen_t = time.time() - t0
-
-    pipe_times = []
-    for _ in range(n_pipe_reps):
+    merged: dict = {"queries": {}}
+    group_wall: dict = {}
+    group_load: dict = {}
+    failed: list = []
+    for g in groups:
+        group_load[g.split(":")[0]] = round(os.getloadavg()[0], 2)
         t0 = time.time()
-        result = run_pipeline(spark, turns, track_errors=False)
-        n_triples = result.triples.count()
-        pipe_times.append(time.time() - t0)
-    pipe_t = min(pipe_times)
-    queries["kg_pipeline"] = round(pipe_t, 3)
-
-    # -- operator surface (min-of-N wall time per query) ---------------
-    allq = entrymod.queries()
-    # the FULL queries() surface (== the CORRECTNESS query set), in a
-    # stable order; ann_ivf_kmeans_topk is the real IVF (Lloyd k-means +
-    # nprobe multi-probe) — ann_ivf_topk is the legacy label-probe
-    # variant, kept for comparison
-    for name in [
-        "frame_supplier_record", "frame_nation_suppliers_set",
-        "frame_order_optional_union", "frame_map_nations",
-        "vocabulary_region",
-        "path_sequence_region", "path_closure_chain", "path_one_or_more",
-        "path_zero_or_one", "path_alternative_places",
-        "flatten_roundtrip_counts", "flatten_relational_counts",
-        "flatten_list_counts", "kg_turn_records",
-        "dedup_exact", "minhash_signature", "minhash_pairs",
-        "minhash_banded_pairs", "ngram_jaccard_pairs",
-        "simhash", "simhash64", "token_stats", "quality_score",
-        "lang_guess", "doc_fingerprint",
-        "ann_brute_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",
-        "cosine_dup_pairs", "media_decode_dims",
-        "cc_customer_chains", "events_sessions",
-        "turtle_roundtrip_counts",
-    ] + sorted(  # never silently drop a query added after this list
-        q for q in allq
-        if q not in {
-            "frame_supplier_record", "frame_nation_suppliers_set",
-            "frame_order_optional_union", "frame_map_nations",
-            "vocabulary_region", "path_sequence_region",
-            "path_closure_chain", "path_one_or_more", "path_zero_or_one",
-            "path_alternative_places", "flatten_roundtrip_counts",
-            "flatten_relational_counts", "flatten_list_counts",
-            "kg_turn_records", "dedup_exact", "minhash_signature",
-            "minhash_pairs", "minhash_banded_pairs", "ngram_jaccard_pairs",
-            "simhash", "simhash64", "token_stats", "quality_score",
-            "lang_guess", "doc_fingerprint", "ann_brute_topk",
-            "ann_ivf_kmeans_topk", "ann_ivf_topk", "cosine_dup_pairs",
-            "media_decode_dims", "cc_customer_chains", "events_sessions",
-            "turtle_roundtrip_counts",
-        }
-    ):
-        best = None
-        for _ in range(n_reps):
-            t0 = time.time()
-            n = allq[name](spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        queries[name] = round(best, 3)
-
-    # -- connected components on a Zipf-skewed 10^7-edge graph ----------
-    # (hot-node broadcast + AQE skew handling; rounds reported)
-    from pyspark.sql import functions as F  # noqa: E402
-    from ramp_shapes_spark.pipeline.canonicalize import (  # noqa: E402
-        connected_components,
-    )
-    n_edges = int(os.environ.get("SPARK_GRAFT_CC_EDGES", "10000000"))
-    n_nodes = n_edges  # one out-edge per node
-    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_003)) + 0.5) / 1_000_003.0
-    zipf_dst = F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(3.0)))
-    edges = (
-        spark.range(0, n_edges, 1, int(CPUS) * 2)
-        .select(
-            F.concat(F.lit("n"), F.col("id").cast("string")).alias("src"),
-            F.concat(F.lit("n"), zipf_dst.cast("long").cast("string"))
-            .alias("dst"),
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--group", g],
+            capture_output=True, text=True, timeout=3600,
         )
-    )
-    cc_stats: dict = {}
-    t0 = time.time()
-    n_cc = connected_components(edges, hot_k=64, stats=cc_stats).count()
-    queries["cc_zipf_10m"] = round(time.time() - t0, 3)
+        group_wall[g.split(":")[0]] = round(time.time() - t0, 3)
+        line = None
+        for ln in (proc.stdout or "").strip().splitlines()[::-1]:
+            ln = ln.strip()
+            if ln.startswith("{"):
+                line = ln
+                break
+        if proc.returncode != 0 or line is None:
+            failed.append(g)
+            sys.stderr.write(
+                f"[bench] group {g} FAILED rc={proc.returncode}\n"
+                f"{(proc.stderr or '')[-2000:]}\n")
+            continue
+        part = json.loads(line)
+        merged["queries"].update(part.pop("queries", {}))
+        merged.update(part)
 
-    total = sum(queries.values())
+    merged_queries = merged["queries"]
     print(json.dumps({
-        "metric": "kg_pipeline_turns_per_sec",
-        "value": round(n_turns / pipe_t, 2),
-        "unit": "turns/sec",
-        "queries": queries,
+        "metric": merged.get("metric", "kg_pipeline_turns_per_sec"),
+        "value": merged.get("value"),
+        "unit": merged.get("unit", "turns/sec"),
+        "queries": merged_queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "n_turns": n_turns,
-        "n_triples": n_triples,
-        "cc_zipf_edges": n_edges,
-        "cc_zipf_rounds": cc_stats.get("rounds"),
-        "cc_zipf_nodes": n_cc,
-        "gen_sec": round(gen_t, 3),
-        "total_sec": round(total, 3),
+        "n_turns": merged.get("n_turns"),
+        "n_triples": merged.get("n_triples"),
+        "cc_zipf_edges": merged.get("cc_zipf_edges"),
+        "cc_zipf_rounds": merged.get("cc_zipf_rounds"),
+        "cc_zipf_nodes": merged.get("cc_zipf_nodes"),
+        "gen_sec": merged.get("gen_sec"),
+        "total_sec": round(sum(merged_queries.values()), 3),
         "cpus": int(CPUS),
         "preexisting_spark_jvms": n_jvms,
         "load1_at_start": load1,
+        "fresh_jvm_per_family": True,
+        "group_wall_sec": group_wall,
+        "group_load1_at_start": group_load,
+        "failed_groups": failed,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--group":
+        print(json.dumps(run_group(sys.argv[2])))
+    else:
+        main()

@@ -45,6 +45,14 @@ from .shapes import (
 
 MAX_CLOSURE_ITERATIONS = 200
 
+# The all-source universal closure is O(edges · diameter) on the
+# chain/forest graphs shape workloads produce, but a DENSE reachability
+# subgraph (or one very long chain) makes |R| grow toward |V|² — at
+# 100× data that is a silent quadratic blow-up.  Cap the closure's
+# growth at this multiple of the one-step relation and fail LOUDLY:
+# callers can partition the graph or evaluate demand-driven instead.
+MAX_CLOSURE_GROWTH = 64
+
 
 def _dedup(df: DataFrame, keys: List[str]) -> DataFrame:
     """Keep one row per (keys, node) with the smallest tord."""
@@ -194,6 +202,7 @@ def _closure(base: DataFrame) -> DataFrame:
     :func:`eval_path`."""
     r = base.localCheckpoint(eager=False)
     total = r.count()
+    base_rows = max(total, 1)
     iterations = 0
     while total > 0:
         iterations += 1
@@ -205,6 +214,14 @@ def _closure(base: DataFrame) -> DataFrame:
         nxt = _dedup(r.unionAll(comp), ["__u"]) \
             .localCheckpoint(eager=False)
         n = nxt.count()
+        if n > base_rows * MAX_CLOSURE_GROWTH:
+            raise RuntimeError(
+                f"property-path closure grew to {n} pairs from a "
+                f"{base_rows}-row one-step relation (> "
+                f"{MAX_CLOSURE_GROWTH}x): the reachability graph is too "
+                f"dense/deep for the all-source closure — partition the "
+                f"graph or evaluate the path demand-driven (refusing to "
+                f"go quadratic)")
         r = nxt
         if n == total:
             break

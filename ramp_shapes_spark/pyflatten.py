@@ -342,11 +342,93 @@ class PyFlatten:
         matches = []
         for key in value:
             item = value[key]
+            if shape.value is not None:
+                # value-reference maps store only the referenced PART of
+                # each item; rebuild the full item via synthesizeShape
+                # with the key/value reference matches (flatten.ts:533-543)
+                refs: Dict[str, list] = {}
+                refs.setdefault(shape.key.target.key(), []).append(
+                    (shape.key.part, key))
+                refs.setdefault(shape.value.target.key(), []).append(
+                    (shape.value.part, item))
+                item = self._synthesize_with_refs(shape.item_shape, refs)
             match = self.flatten_shape(shape.item_shape, required, item, frame)
             if match is None:
                 return None
             matches.append(match)
         return _GroupMatch(matches)
+
+    # -- reference synthesis (synthesize.ts:55-198) ----------------------
+    def _synthesize_with_refs(self, sid: ShapeID, refs: Dict[str, list]):
+        """Rebuild the NATIVE value of ``sid`` from reference matches
+        (``refs``: target shape key → [(part, match)]); constants and
+        empty-synthesizable shapes fill the remainder."""
+        shape = self.catalog.get(sid)
+        matches = refs.get(sid.key(), [])
+        if isinstance(shape, ResourceShape):
+            if shape.value is not None:
+                return self._term_to_native(shape.value, shape)
+            for part, m in matches:
+                if part is None:
+                    return m
+                if part == "value":
+                    if not isinstance(m, str):
+                        self._err(0, "cannot synthesize resource from "
+                                     "non-string value")
+                    return self._term_to_native(iri(m), shape)
+                self._err(0, f"cannot synthesize resource from part "
+                             f"{part!r}")
+            self._err(0, "no matches to synthesize resource")
+        if isinstance(shape, LiteralShape):
+            if shape.value is not None:
+                return self._term_to_native(shape.value, shape)
+            value = None
+            datatype = shape.datatype
+            language = shape.language
+            for part, m in matches:
+                if part is None:
+                    return m
+                if not isinstance(m, str):
+                    self._err(0, "cannot synthesize literal part from "
+                                 "non-string value")
+                if part == "value":
+                    value = m
+                elif part == "datatype":
+                    datatype = m
+                elif part == "language":
+                    language = m
+            if value is None:
+                self._err(0, "no 'value' part to synthesize literal")
+            if datatype is None:
+                self._err(0, "no 'datatype' part to synthesize literal")
+            term = lit(value, lang=language) \
+                if datatype == RDF_LANG_STRING else lit(value, dt=datatype)
+            return self._term_to_native(term, shape)
+        if isinstance(shape, RecordShape):
+            out: Dict[str, object] = {}
+            props = list(shape.type_properties) + list(shape.properties)
+            for p in props:
+                v = self._synthesize_with_refs(p.value_shape, refs)
+                if v is not UNDEFINED:
+                    out[p.name] = v
+            for cp in shape.computed_properties or ():
+                v = self._synthesize_with_refs(cp.value_shape, refs)
+                if v is not UNDEFINED:
+                    out[cp.name] = v
+            return out
+        if isinstance(shape, SetShape):
+            hi = shape.max_count if shape.max_count is not None \
+                else (shape.min_count or 0)
+            count = min(shape.min_count or 0, hi)
+            return [self._synthesize_with_refs(shape.item_shape, refs)
+                    for _ in range(count)]
+        if isinstance(shape, OptionalShape):
+            return None if shape.empty_is_null else UNDEFINED
+        if isinstance(shape, ListShape):
+            return []
+        if isinstance(shape, MapShape):
+            return {}
+        self._err(301, "cannot synthesize value for shape")
 
     # -- quad generation (flatten.ts:302-357) ---------------------------
     def generate_path(self, subject: Term, path: PropertyPath, obj: Term

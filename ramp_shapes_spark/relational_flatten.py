@@ -94,9 +94,16 @@ def shape_struct_type(catalog: ShapeCatalog, sid: ShapeID,
     if isinstance(shape, (SetShape, ListShape)):
         return ArrayType(shape_struct_type(catalog, shape.item_shape, seen))
     if isinstance(shape, MapShape):
-        if shape.value is not None:
-            raise UnsupportedShape("map value reference")
         from pyspark.sql.types import MapType
+        if shape.value is not None:
+            # value-reference map: entries hold only the referenced PART
+            # of each item — a term part (string) or the target shape's
+            # framed value (synthesize.ts:11-36 compactByReference)
+            if shape.value.part is not None:
+                vt: DataType = StringType()
+            else:
+                vt = shape_struct_type(catalog, shape.value.target, seen)
+            return MapType(StringType(), vt)
         return MapType(StringType(),
                        shape_struct_type(catalog, shape.item_shape, seen))
     if isinstance(shape, OptionalShape):
@@ -545,6 +552,77 @@ class _Compiler:
             return "(" + " + ".join(parts) + ")"
         raise UnsupportedShape(f"{shape.type} shape")
 
+    # -- reference synthesis (synthesize.ts:55-198) ----------------------
+    def _shape_ddl(self, sid: ShapeID) -> str:
+        return shape_struct_type(self.catalog, sid).simpleString()
+
+    def _synth_value_expr(self, sid: ShapeID, refs: dict) -> str:
+        """SQL expr of the NATIVE value ``synthesizeShape`` rebuilds for
+        ``sid`` from map key/value reference matches (``refs``: target
+        shape key → (part, sql expr)); constants and empty-
+        synthesizable shapes fill the remainder."""
+        shape = self.catalog.get(sid)
+        ref = refs.get(sid.key())
+        if isinstance(shape, ResourceShape):
+            if shape.keep_as_term or shape.vocabulary is not None:
+                raise UnsupportedShape(
+                    "synthesized keepAsTerm/vocabulary resource")
+            if shape.value is not None:
+                t = shape.value
+                return s_str(t.value if t.kind == "iri"
+                             else "_:" + t.value)
+            if ref is not None:
+                part, e = ref
+                if part in (None, "value"):
+                    return f"CAST({e} AS STRING)"
+                raise UnsupportedShape(
+                    f"resource synthesis from part {part!r}")
+            raise UnsupportedShape("no matches to synthesize resource")
+        if isinstance(shape, LiteralShape):
+            if shape.keep_as_term:
+                raise UnsupportedShape("synthesized keepAsTerm literal")
+            if shape.value is not None:
+                return _const_value_sql(shape.value)
+            if ref is not None:
+                part, e = ref
+                if part is None:
+                    return e
+                if part == "value":
+                    return f"CAST({e} AS {_leaf_ddl(shape)})"
+                raise UnsupportedShape(
+                    f"literal synthesis from part {part!r} with a "
+                    f"static shape")
+            raise UnsupportedShape("no matches to synthesize literal")
+        if isinstance(shape, RecordShape):
+            fields = []
+            for p in list(shape.type_properties) + list(shape.properties):
+                if p.transient:
+                    continue  # re-synthesized from the shape at emission
+                fields.append(
+                    f"{s_str(p.name)}, "
+                    f"{self._synth_value_expr(p.value_shape, refs)}")
+            if not fields:
+                raise UnsupportedShape(
+                    "synthesized record with no readable properties")
+            return "named_struct(" + ", ".join(fields) + ")"
+        if isinstance(shape, SetShape):
+            hi = shape.max_count if shape.max_count is not None \
+                else (shape.min_count or 0)
+            count = min(shape.min_count or 0, hi)
+            if count == 0:
+                return (f"CAST(array() AS "
+                        f"array<{self._shape_ddl(shape.item_shape)}>)")
+            item = self._synth_value_expr(shape.item_shape, refs)
+            return "array(" + ", ".join([item] * count) + ")"
+        if isinstance(shape, OptionalShape):
+            return f"CAST(NULL AS {self._shape_ddl(shape.item_shape)})"
+        if isinstance(shape, ListShape):
+            return (f"CAST(array() AS "
+                    f"array<{self._shape_ddl(shape.item_shape)}>)")
+        if isinstance(shape, MapShape):
+            return f"CAST(map() AS {self._shape_ddl(sid)})"
+        raise UnsupportedShape(f"cannot synthesize {shape.type} shape")
+
     # -- emission -------------------------------------------------------
     def record_subject(self, shape: RecordShape, value: str,
                        counter: str) -> str:
@@ -680,7 +758,41 @@ class _Compiler:
             # assembly) fixes the per-entry blank-node counters exactly
             # like set elements
             if vshape.value is not None:
-                raise UnsupportedShape("map value reference")
+                # value-reference map: each entry stores only the
+                # referenced part; rebuild the full item as a STATIC
+                # struct expression over (key, value) — synthesizeShape
+                # made relational (flatten.ts:533-543)
+                item = self.catalog.get(vshape.item_shape)
+                if not isinstance(item, RecordShape):
+                    raise UnsupportedShape(
+                        "map value reference on a non-record item")
+                per = self._static_count(item)
+                g = self._static_gen_count(item)
+                if per is None or g is None:
+                    raise UnsupportedShape(
+                        "map items with data-dependent blank-node counts")
+                x = self._var()
+                refs = {
+                    vshape.key.target.key():
+                        (vshape.key.part, f"{x}.key"),
+                    vshape.value.target.key():
+                        (vshape.value.part, f"{x}.value"),
+                }
+                synth = self._synth_value_expr(vshape.item_shape, refs)
+                elem_off = f"({offset} + {x}_i * {per})"
+                subj_ctr = f"({elem_off} + {per})"
+                child_subj = self.record_subject(item, synth, subj_ctr)
+                stride = P + g
+                item_gen = (f"({gen_offset} + {x}_i * {stride})"
+                            if stride else gen_offset)
+                edge = self.path_edges(subj, child_subj, path, item_gen,
+                                       False, False)
+                body = self.record_triples(
+                    item, synth, child_subj, elem_off,
+                    f"({item_gen} + {P})" if P else item_gen)
+                arr = (f"flatten(transform(map_entries({pv}), "
+                       f"({x}, {x}_i) -> concat({edge}, {body})))")
+                return f"coalesce({arr}, {EMPTY_TRIPLES})"
             item = self.catalog.get(vshape.item_shape)
             if isinstance(item, (ResourceShape, LiteralShape)):
                 x = self._var()
@@ -831,6 +943,24 @@ class _Compiler:
 
     # -- anyOf over a VARIANT-typed value (flatten.ts:363-384) ----------
     _INT_SCHEMAS = "('TINYINT','SMALLINT','INT','BIGINT')"
+    _WRAP_DDL = ("struct<`@term`:struct<kind:string,value:string,"
+                 "dt:string,lang:string>>")
+
+    def _term_variant_case(self, v, pv: str, subj: str, path) -> tuple:
+        """(predicate, edges) for a keepAsTerm variant: the framed value
+        is a {"@term": {...}} wrapper object — discriminate by casting
+        the VARIANT to the wrapper struct and replaying matchesTerm
+        (common.ts:21-92) over the decoded term."""
+        from .frame import FrameEngine
+
+        w = f"try_variant_get({pv}, '$', '{self._WRAP_DDL}')"
+        term = f"(({w}).`@term`)"
+        fail, _ = FrameEngine._s_node_checks(v, term)
+        pred = (f"(schema_of_variant({pv}) LIKE 'OBJECT%' "
+                f"AND ({term}).kind IS NOT NULL AND NOT {fail})")
+        edges = self.path_edges(subj, term, path, "0", False,
+                                isinstance(v, LiteralShape))
+        return pred, edges
 
     def _variant_cases(self, shape: AnyOfShape, pv: str, subj: str,
                        path) -> List[tuple]:
@@ -850,7 +980,8 @@ class _Compiler:
                 continue
             if isinstance(v, LiteralShape):
                 if v.keep_as_term:
-                    raise UnsupportedShape("keepAsTerm literal variant")
+                    out.append(self._term_variant_case(v, pv, subj, path))
+                    continue
                 dt = v.effective_datatype()
                 if dt == XSD_BOOLEAN:
                     pred = f"({sov} = 'BOOLEAN')"
@@ -874,8 +1005,16 @@ class _Compiler:
                 out.append((pred, self.path_edges(
                     subj, _leaf_term(v, val), path, "0", False, True)))
             elif isinstance(v, ResourceShape):
-                if v.keep_as_term or v.vocabulary is not None:
-                    raise UnsupportedShape("keepAsTerm/vocabulary variant")
+                if v.keep_as_term:
+                    out.append(self._term_variant_case(v, pv, subj, path))
+                    continue
+                if v.vocabulary is not None:
+                    # the interpreter's variant probe THROWS (not
+                    # "no match") on a string that is not a vocabulary
+                    # key (value-mapping toRdf), so a first-match CASE
+                    # cannot replicate the error semantics — interpreter
+                    # fallback keeps them exact
+                    raise UnsupportedShape("vocabulary variant")
                 val = f"CAST({pv} AS STRING)"
                 pred = f"({sov} = 'STRING')"
                 if v.only_named:
@@ -887,17 +1026,24 @@ class _Compiler:
                     subj, _iri_or_bnode(val), path, "0", False, False)))
             elif isinstance(v, SetShape):
                 item = self.catalog.get(v.item_shape)
-                if not isinstance(item, (ResourceShape, LiteralShape)) or \
-                        item.keep_as_term or (
-                            isinstance(item, ResourceShape)
-                            and item.vocabulary is not None):
+                if not isinstance(item, (ResourceShape, LiteralShape)) or (
+                        isinstance(item, ResourceShape)
+                        and item.vocabulary is not None):
                     raise UnsupportedShape("anyOf set-variant item")
-                ddl = _leaf_ddl(item)
-                arr = f"try_variant_get({pv}, '$', 'array<{ddl}>')"
                 x = self._var()
-                body = self.path_edges(
-                    subj, _leaf_term(item, x), path, "0",
-                    False, isinstance(item, LiteralShape))
+                if item.keep_as_term:
+                    arr = (f"try_variant_get({pv}, '$', "
+                           f"'array<{self._WRAP_DDL}>')")
+                    term = f"(({x}).`@term`)"
+                    body = self.path_edges(
+                        subj, term, path, "0",
+                        False, isinstance(item, LiteralShape))
+                else:
+                    ddl = _leaf_ddl(item)
+                    arr = f"try_variant_get({pv}, '$', 'array<{ddl}>')"
+                    body = self.path_edges(
+                        subj, _leaf_term(item, x), path, "0",
+                        False, isinstance(item, LiteralShape))
                 out.append((
                     f"({sov} LIKE 'ARRAY%')",
                     f"coalesce(flatten(transform({arr}, {x} -> {body})), "

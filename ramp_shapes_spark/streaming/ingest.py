@@ -164,6 +164,88 @@ def compact_stream_aliases(spark: SparkSession, root: str,
         ["s_kind", "s_value", "p", "o_kind", "o_value", "o_dt", "o_lang"])
 
 
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def stream_document_ingest(
+    spark: SparkSession,
+    input_path: str,
+    root: str,
+    checkpoint: Optional[str] = None,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """``availableNow`` ingest of document drops ``(doc_id, text)``
+    into the accumulated corpus at ``<root>/docs/<batch_id>``.
+
+    Each micro-batch lands in its OWN directory with ``overwrite``
+    mode, so Structured Streaming's at-least-once batch replay is
+    idempotent (a replayed batch rewrites its directory, never
+    duplicates the corpus).  Within-batch EXACT duplicates are dropped
+    here (cheap, bounded); document-level NEAR-dup state is
+    deliberately per-batch — the global fold across drops is
+    :func:`compact_stream_document_dedup`, the same LSM-style merge
+    design as :func:`compact_stream_aliases`."""
+    docs = spark.readStream.schema(DOC_SCHEMA).parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("text").orderBy("doc_id")
+        deduped = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        deduped.write.mode("overwrite").parquet(
+            os.path.join(root, "docs", f"{batch_id:010d}"))
+
+    return (
+        docs.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation",
+                checkpoint or os.path.join(root, "_doc_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stream_documents(spark: SparkSession, root: str) -> DataFrame:
+    """Union view over every ingested document drop."""
+    import glob
+
+    dirs = sorted(glob.glob(os.path.join(root, "docs", "*")))
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        raise FileNotFoundError(f"no ingested document drops under {root}")
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d))
+    return out
+
+
+def compact_stream_document_dedup(spark: SparkSession, root: str,
+                                  bands: int = 4,
+                                  rows: int = 2) -> DataFrame:
+    """Global document near-dup compaction over the accumulated corpus.
+
+    Per-batch ingest only deduplicates WITHIN a drop, so a near-copy
+    arriving in a later drop survives with its own id.  This periodic
+    batch job folds the whole corpus through the banded-LSH cluster map
+    (:func:`ramp_shapes_spark.ops.dedup.neardup_clusters` — bucket-star
+    edges + contraction CC, the O(docs×bands) shape), producing one
+    ``(doc_id, canonical)`` row per document where ``canonical`` is the
+    cluster's numeric-minimum id — i.e. a near-duplicate from drop 2
+    maps to drop 1's original.  Callers apply it as the corpus'
+    keep/drop map or rewrite references, then snapshot — the LSM merge
+    step of the streaming dedup design."""
+    from ramp_shapes_spark.ops.dedup import neardup_clusters
+
+    return neardup_clusters(read_stream_documents(spark, root),
+                            bands=bands, rows=rows)
+
+
 def stream_turn_rates(
     spark: SparkSession,
     input_path: str,

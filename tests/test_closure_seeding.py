@@ -169,3 +169,28 @@ def test_fast_root_ordered_parity(spark):
                 for r in res.matches.collect()]
 
     assert run(False) == run(True) == ["b", "c"]
+
+
+def test_dense_closure_growth_guard_raises(spark):
+    """A reachability graph whose closure grows super-linearly must
+    fail LOUDLY (MAX_CLOSURE_GROWTH) instead of silently going
+    quadratic — a long chain's all-pairs closure is the canonical
+    case."""
+    import pytest
+
+    from ramp_shapes_spark import paths
+    from ramp_shapes_spark.paths import _closure, _full_step_relation
+
+    n = 200  # chain: closure = n(n-1)/2 pairs ≈ 100x the edge count
+    t = [(iri(f"c{i}"), EX + "next", iri(f"c{i+1}")) for i in range(n)]
+    rel = _full_step_relation(PredicatePath(EX + "next"),
+                              triples_df(spark, t), reverse=False)
+    with pytest.raises(RuntimeError, match="refusing to go quadratic"):
+        _closure(rel)
+
+    # and a forest-shaped graph under the cap still closes fine
+    short = [(iri(f"s{j}_{i}"), EX + "next", iri(f"s{j}_{i+1}"))
+             for j in range(20) for i in range(5)]
+    rel2 = _full_step_relation(PredicatePath(EX + "next"),
+                               triples_df(spark, short), reverse=False)
+    assert _closure(rel2).count() == 20 * (5 + 4 + 3 + 2 + 1)

@@ -502,8 +502,7 @@ def test_sequence_paths_match_interpreter(spark):
     for i, v in enumerate(PATH_VALUES):
         want = flatten_py(catalog, root, v)
         assert triple_sets_isomorphic(got.get(str(i), []), want), (
-            f"value {i}:\n got {sorted(got.get(str(i), []))}\n"
-            f"want {sorted(want)}")
+            f"value {i}:\n got {got.get(str(i), [])}\n want {want}")
 
 
 def test_sequence_paths_bnodes_byte_identical(spark):
@@ -532,3 +531,128 @@ def test_literal_under_inverse_path_falls_back():
         ],
     )
     assert not supports_shape(b.catalog, rid)
+
+
+# ---------------------------------------------------------------------------
+# map value references (flatten.ts:514-565 + synthesize.ts:55-198)
+# ---------------------------------------------------------------------------
+
+def _value_ref_catalog(part):
+    """Map whose entries store only a referenced PART of each item; the
+    item record is rebuilt by synthesis at flatten time: a constant, a
+    self-subject from the KEY, the referenced value, and an
+    empty-synthesizable optional."""
+    from ramp_shapes_spark.shapes import ShapeReference
+    from ramp_shapes_spark.terms import lit as mklit
+
+    b = ShapeBuilder()
+    key_shape = b.literal(datatype=XSD_STRING)
+    val_shape = b.literal(datatype=XSD_INTEGER)
+    entry = b.record(
+        EX + "Entry",
+        properties=[
+            prop("k", EX + "key", key_shape),
+            prop("v", EX + "val", val_shape),
+            prop("kind", EX + "kind", b.constant(mklit("entry"))),
+            prop("note", EX + "note",
+                 b.optional(b.literal(datatype=XSD_STRING))),
+        ],
+    )
+    m = b.map_of(ShapeReference(target=key_shape, part="value"), entry,
+                 value=ShapeReference(target=val_shape, part=part))
+    root = b.record(
+        EX + "MapRoot",
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("entries", EX + "entry", m),
+        ],
+    )
+    return b.catalog, root
+
+
+MAP_REF_VALUES = [
+    {"id": "mr:1", "entries": {"alpha": 1, "beta": 2}},
+    {"id": "mr:2", "entries": {}},
+]
+
+
+@pytest.mark.parametrize("part", ["value", None])
+def test_map_value_ref_matches_interpreter(spark, part):
+    catalog, root = _value_ref_catalog(part)
+    assert supports_shape(catalog, root)
+    vals = MAP_REF_VALUES if part is None else [
+        {"id": v["id"],
+         "entries": {k: str(x) for k, x in v["entries"].items()}}
+        for v in MAP_REF_VALUES
+    ]
+    got = _spark_triples(spark, catalog, root, vals)
+    for i, v in enumerate(vals):
+        want = flatten_py(catalog, root, v)
+        assert triple_sets_isomorphic(got.get(str(i), []), want), (
+            f"value {i}:\n got {got.get(str(i), [])}\n want {want}")
+
+
+def test_map_value_ref_bnodes_byte_identical(spark):
+    from ramp_shapes_spark.pyflatten import deterministic_bnode_generator
+    catalog, root = _value_ref_catalog(None)
+    got = _spark_triples(spark, catalog, root, MAP_REF_VALUES)
+    for i, v in enumerate(MAP_REF_VALUES):
+        want = flatten_py(catalog, root, v,
+                          deterministic_bnode_generator(str(i)))
+        gset = {(s.key(), p, o.key()) for s, p, o in got.get(str(i), [])}
+        wset = {(s.key(), p, o.key()) for s, p, o in want}
+        assert gset == wset, f"value {i}: {sorted(gset ^ wset)}"
+
+
+# ---------------------------------------------------------------------------
+# keepAsTerm anyOf variants (flatten.ts:363-384 over term wrappers)
+# ---------------------------------------------------------------------------
+
+def _term_anyof_catalog():
+    """Union mixing a plain int, a keepAsTerm literal and a keepAsTerm
+    resource, plus a set-of-keepAsTerm variant — the wrapper objects
+    discriminate from scalars by their VARIANT runtime type."""
+    b = ShapeBuilder()
+    u = b.any_of([
+        b.literal(datatype=XSD_INTEGER),
+        b.literal(keep_as_term=True, language="en"),
+        b.resource(keep_as_term=True, only_named=True),
+    ])
+    su = b.any_of([
+        b.set_of(b.literal(keep_as_term=True)),
+        b.literal(datatype=XSD_STRING),
+    ])
+    root = b.record(
+        EX + "TermUnion",
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("val", EX + "val", u),
+            prop("many", EX + "many", su),
+        ],
+    )
+    return b.catalog, root
+
+
+TERM_ANYOF_VALUES = [
+    {"id": "tu:1", "val": 42, "many": "plain"},
+    {"id": "tu:2",
+     "val": {"@term": {"kind": "lit", "value": "hello",
+                       "dt": "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+                       "lang": "en"}},
+     "many": [{"@term": {"kind": "lit", "value": "a",
+                         "dt": "http://www.w3.org/2001/XMLSchema#string"}},
+              {"@term": {"kind": "lit", "value": "b",
+                         "dt": "http://www.w3.org/2001/XMLSchema#string"}}]},
+    {"id": "tu:3", "val": {"@term": {"kind": "iri", "value": "node:n9"}},
+     "many": []},
+]
+
+
+def test_keepasterm_anyof_matches_interpreter(spark):
+    catalog, root = _term_anyof_catalog()
+    assert supports_shape(catalog, root)
+    got = _spark_triples(spark, catalog, root, TERM_ANYOF_VALUES)
+    for i, v in enumerate(TERM_ANYOF_VALUES):
+        want = flatten_py(catalog, root, v)
+        assert triple_sets_isomorphic(got.get(str(i), []), want), (
+            f"value {i}:\n got {got.get(str(i), [])}\n want {want}")

@@ -153,3 +153,50 @@ def test_compact_stream_aliases_folds_chains(spark, tmp_path):
                       out.filter(F.col("p") == kg("entity")).collect()}
     assert entity_targets == {"entity:A"}
     out.unpersist()
+
+
+def test_stream_document_dedup_compaction(spark, tmp_path):
+    """Cross-batch near-dup fold: a near-duplicate document arriving in
+    drop 2 maps to drop 1's canonical after compaction, exact
+    duplicates WITHIN a drop are dropped at ingest, and re-draining
+    with nothing new is a no-op."""
+    from ramp_shapes_spark.streaming.ingest import (
+        compact_stream_document_dedup, read_stream_documents,
+        stream_document_ingest,
+    )
+
+    d = str(tmp_path / "docdrops")
+    root = str(tmp_path / "docroot")
+    os.makedirs(d)
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "and then runs far away into the deep dark woods tonight")
+    uniq = "completely different content about spark and parquet tables"
+    drop1 = spark.createDataFrame(
+        [(1, base), (2, uniq), (3, uniq)],  # 2/3 exact dups in-drop
+        "doc_id long, text string")
+    drop1.coalesce(1).write.mode("append").parquet(d)
+    stream_document_ingest(spark, d, root).awaitTermination()
+
+    corpus1 = read_stream_documents(spark, root)
+    assert corpus1.count() == 2  # in-drop exact dup removed
+    assert {r["doc_id"] for r in corpus1.collect()} == {1, 2}
+
+    # drop 2: a near-duplicate of doc 1 (one token appended) + a fresh doc
+    drop2 = spark.createDataFrame(
+        [(101, base + " extra"), (102, "unrelated new text entirely")],
+        "doc_id long, text string")
+    drop2.coalesce(1).write.mode("append").parquet(d)
+    stream_document_ingest(spark, d, root).awaitTermination()
+
+    assert read_stream_documents(spark, root).count() == 4
+
+    cmap = {r["doc_id"]: r["canonical"]
+            for r in compact_stream_document_dedup(spark, root).collect()}
+    assert set(cmap) == {1, 2, 101, 102}
+    assert cmap[101] == 1, cmap   # drop-2 near-dup folds to drop-1 canonical
+    assert cmap[1] == 1 and cmap[2] == 2 and cmap[102] == 102
+
+    # idempotent re-drain: no new batch directories, same corpus
+    stream_document_ingest(spark, d, root).awaitTermination()
+    assert read_stream_documents(spark, root).count() == 4
