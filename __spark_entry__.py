@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_zero_or_one": R.q_path_zero_or_one,
         "vocabulary_region": R.q_vocabulary_region,
         "frame_map_nations": R.q_frame_map_nations,
+        "frame_error_codes": R.q_frame_error_codes,
         "flatten_roundtrip_counts": R.q_flatten_roundtrip_counts,
         "flatten_relational_counts": R.q_flatten_relational_counts,
         "turtle_roundtrip_counts": R.q_turtle_roundtrip_counts,
@@ -458,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "path_zero_or_one": R.oracle_path_zero_or_one(),
         "vocabulary_region": R.oracle_vocabulary_region(),
         "frame_map_nations": R.oracle_frame_map_nations(),
+        "frame_error_codes": R.oracle_frame_error_codes(),
         "flatten_roundtrip_counts": R.oracle_flatten_roundtrip_counts(),
         "flatten_relational_counts": R.oracle_flatten_relational_counts(),
         "turtle_roundtrip_counts": R.oracle_turtle_roundtrip_counts(),

@@ -40,9 +40,9 @@ QUERY_GROUPS = {
     "frame": [
         "frame_supplier_record", "frame_nation_suppliers_set",
         "frame_order_optional_union", "frame_map_nations",
-        "vocabulary_region", "flatten_roundtrip_counts",
-        "flatten_relational_counts", "flatten_list_counts",
-        "turtle_roundtrip_counts",
+        "frame_error_codes", "vocabulary_region",
+        "flatten_roundtrip_counts", "flatten_relational_counts",
+        "flatten_list_counts", "turtle_roundtrip_counts",
     ],
     "paths": [
         "path_sequence_region", "path_closure_chain", "path_one_or_more",
@@ -97,10 +97,20 @@ def _session():
 
 def _interleaved(spark, names, n_reps: int) -> dict:
     """min-of-N per query with reps ROUND-ROBIN across the family, so
-    each query's samples come from separated time windows."""
+    each query's samples come from separated time windows.
+
+    An UNTIMED warmup pass runs the whole family first (same
+    steady-state practice as tools/scaling.py): each family's fresh JVM
+    pays codegen/JIT/Python-worker spawn once OUTSIDE the timed window,
+    as on a long-lived cluster — otherwise sub-second queries measure
+    their family's cold-start instead of themselves.  Disable with
+    SPARK_GRAFT_BENCH_WARMUP=0."""
     import __spark_entry__ as entrymod
 
     allq = entrymod.queries()
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for name in names:
+            allq[name](spark, SF_DIR).count()
     times: dict = {n: [] for n in names}
     for _ in range(n_reps):
         for name in names:

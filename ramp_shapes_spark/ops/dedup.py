@@ -77,7 +77,7 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", bands: int = 4,
                          rows: int = 2,
                          max_bucket_width: int | None = 100_000,
-                         max_pairs: int | None = 1_000_000) -> DataFrame:
+                         max_pairs: int | None = 100_000_000) -> DataFrame:
     """Banded MinHash LSH candidate pairs (the standard OR-of-ANDs
     construction): ``bands`` bands of ``rows`` hashes each over a
     ``bands*rows``-permutation signature; a pair is a candidate when it
@@ -99,7 +99,9 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
     boilerplate bucket of width w emits w·(w-1)/2 pairs, an all-pairs
     join at corpus scale; ``max_pairs`` caps the total CANDIDATE volume
     Σ w·(w-1)/2 (an upper bound on the distinct output — cross-band
-    repeats of a pair count once per band).  Both checks share one
+    repeats of a pair count once per band, so a dup-heavy corpus can
+    legitimately sit 100-200× above its distinct pair count; the
+    default cap is sized for that).  Both checks share one
     cheap aggregation over the exploded (band, bucket) rows and run
     BEFORE the quadratic join is ever executed.  Pass ``None`` for both
     to skip the guard action.  For cluster-level dedup at scale prefer
@@ -240,7 +242,7 @@ def hamming64(hi_a: Column, lo_a: Column, hi_b: Column,
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3,
-                        max_pairs: int | None = 1_000_000) -> DataFrame:
+                        max_pairs: int | None = 100_000_000) -> DataFrame:
     """Exact token-n-gram Jaccard pairs at ``jaccard >= threshold``,
     found via PREFIX FILTERING (AllPairs/PPJoin family: Bayardo et al.,
     WWW'07; Vernica et al., SIGMOD'10), thresholded and exact.
@@ -256,10 +258,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     Candidates are then verified EXACTLY against the full gram sets
     (``array_intersect``), so results are identical to the naive join.
 
-    Returns (doc_a, doc_b, jacc_x10k).  When ``max_pairs`` is set, a
-    result larger than the cap raises ``RuntimeError`` (a hard error —
-    never a silently truncated subset).  Pass ``max_pairs=None`` to
-    skip the guard (and its extra counting action).
+    Returns (doc_a, doc_b, jacc_x10k).  When ``max_pairs`` is set, the
+    prefix-index CANDIDATE volume Σ w·(w-1)/2 over prefix-gram buckets
+    (an upper bound on the verified join's row count — a pair sharing
+    several prefix grams counts once per gram) above the cap raises
+    ``RuntimeError`` BEFORE the join runs (a hard error — never a
+    silently truncated subset).  Pass ``max_pairs=None`` to skip the
+    guard (and its counting action).
     """
     from pyspark.sql import Window
 
@@ -270,8 +275,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+    # one materialization of the tokenized gram relation: it feeds FOUR
+    # independent subtrees (document frequency, the prefix index, and
+    # both verify sides) and re-tokenizing the corpus four times would
+    # dominate the wall clock; an eager local checkpoint (not persist)
+    # keeps repeated invocations honest — no cross-call plan-cache hits
     g = docs.select(F.col(id_col).alias("doc"), grams.alias("grams"),
-                    F.size(grams).alias("n_grams"))
+                    F.size(grams).alias("n_grams")) \
+        .localCheckpoint(eager=True)
     inv = g.select("doc", "n_grams", F.explode("grams").alias("gram"))
     # global gram document frequency = the total order for prefixes
     # (rarest first; gram string breaks ties so the order is total)
@@ -289,6 +300,19 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .filter(F.col("__rk") <= plen)
         .select("doc", "gram")
     )
+    if max_pairs is not None:
+        vol = (
+            prefix.groupBy("gram").agg(F.count(F.lit(1)).alias("__w"))
+            .agg(F.sum((F.col("__w") * (F.col("__w") - 1) / 2)
+                       .cast("long")).alias("__cand"))
+            .collect()[0]["__cand"]
+        )
+        if vol is not None and vol > max_pairs:
+            raise RuntimeError(
+                f"ngram_jaccard_pairs: prefix-candidate volume {vol} "
+                f"exceeds max_pairs={max_pairs}; raise the cap or "
+                f"tighten the threshold (refusing to run a quadratic "
+                f"join)")
     cand = (
         prefix.select(F.col("doc").alias("doc_a"), "gram")
         .join(prefix.select(F.col("doc").alias("doc_b"), "gram"), "gram")
@@ -307,18 +331,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                 F.size(F.array_intersect("__ga", "__gb")).alias("ninter"))
     )
     jacc = F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter"))
-    out = inter.filter(jacc >= threshold).select(
+    return inter.filter(jacc >= threshold).select(
         "doc_a", "doc_b",
         F.floor(jacc * 10000 + F.lit(0.5)).cast("long").alias("jacc_x10k"),
     )
-    if max_pairs is not None:
-        over = out.limit(max_pairs + 1).count()
-        if over > max_pairs:
-            raise RuntimeError(
-                f"ngram_jaccard_pairs produced more than max_pairs="
-                f"{max_pairs} results; raise the cap or tighten the "
-                f"threshold (refusing to silently truncate)")
-    return out
 
 
 def neardup_clusters(docs: DataFrame, text_col: str = "text",

@@ -601,6 +601,62 @@ def oracle_vocabulary_region() -> str:
     """
 
 
+def q_frame_error_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-tree ERROR CHANNEL (fasterrors.py) over a deterministically
+    malformed supplier graph: suppliers with suppkey % 7 == 0 lose
+    their name triple (code 203 NO_PROPERTY_MATCHES), suppkey % 11 == 0
+    get a duplicate acct edge (204 MULTIPLE_PROPERTY_MATCHES); a
+    subject with both defects reports the FIRST failing property in
+    declaration order (name → 203), exactly like the general
+    compiler's record-level error row.  ``track_errors=True`` with
+    ``diagnostics=False`` routes through the fast tree; the error
+    relation is derived lazily from the same counter aggregations."""
+    sup = _load(spark, sf_dir, "supplier")
+    sup_iri = F.concat(F.lit("sup:"), F.col("s_suppkey").cast("string"))
+    acct = F.col("s_acctbal").cast("string")
+    triples = _triples([
+        sup.select(_iri(sup_iri).alias("s"), F.lit(RDF_TYPE).alias("p"),
+                   _iri(F.lit(EX + "Supplier")).alias("o")),
+        sup.filter(F.col("s_suppkey") % 7 != 0).select(
+            _iri(sup_iri).alias("s"), F.lit(EX + "name").alias("p"),
+            _lit(F.col("s_name"), XSD_STRING).alias("o")),
+        sup.select(_iri(sup_iri).alias("s"), F.lit(EX + "acct").alias("p"),
+                   _lit(acct, XSD_STRING).alias("o")),
+        sup.filter(F.col("s_suppkey") % 11 == 0).select(
+            _iri(sup_iri).alias("s"), F.lit(EX + "acct").alias("p"),
+            _lit(F.concat(acct, F.lit("x")), XSD_STRING).alias("o")),
+    ])
+    b = ShapeBuilder()
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("acct", EX + "acct", b.literal(datatype=XSD_STRING)),
+        ],
+    )
+    engine = FrameEngine(spark, b.catalog, triples,
+                         diagnostics=False, track_errors=True)
+    res = engine.frame(supplier)
+    return res.errors.groupBy("code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"))
+
+
+def oracle_frame_error_codes() -> str:
+    return """
+        SELECT code, CAST(COUNT(*) AS BIGINT) AS n_subjects
+        FROM (
+            SELECT CASE WHEN s_suppkey % 7 = 0 THEN 203 ELSE 204 END
+                   AS code
+            FROM supplier
+            WHERE s_suppkey % 7 = 0 OR s_suppkey % 11 = 0
+        ) d
+        GROUP BY code
+    """
+
+
 def q_frame_map_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map shape keyed by a ShapeReference to the nation-name literal:
     per region, {n_name: nation record}; exploded to (region, n_name)."""
