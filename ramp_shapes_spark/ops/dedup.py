@@ -121,6 +121,11 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc"), F.explode(band_entries).alias("e")
     ).select("doc", F.col("e.band").alias("band"),
              F.col("e.bucket").alias("bucket"))
+    # one materialization: the banded rows feed the guard aggregation
+    # plus BOTH sides of the self-join — recomputing the k-permutation
+    # minhash three times would dominate; eager checkpoint (not
+    # persist) keeps repeated invocations honest
+    exploded = exploded.localCheckpoint(eager=True)
     if max_bucket_width is not None or max_pairs is not None:
         g = (
             exploded.groupBy("band", "bucket")

@@ -160,40 +160,97 @@ def eval_path(
     if isinstance(path, (ZeroOrMorePath, OneOrMorePath)):
         inner = path.path
         include_self = isinstance(path, ZeroOrMorePath)
-
-        # Transitive closure by POINTER DOUBLING over the FULL one-step
-        # relation: R_{k+1} = R_k ∪ R_k∘R_k covers distances 1..2^(k+1),
-        # so the driver loop runs ceil(log2(diameter)) rounds instead of
-        # `diameter` (a 7-hop chain closes in 3 rounds, a 10^6-hop chain
-        # in 20).  The base relation E is ``inner`` applied from EVERY
-        # term in the graph — NOT just df's candidate nodes — because
-        # R∘R composition requires every reachability intermediate to be
-        # a source already present in R; seeding only from candidates
-        # truncates reachability through non-candidate nodes at distance
-        # 1 (round-3 ADVICE, high).  For a plain predicate path E is a
-        # direct projection of the filtered triples (no seed join at
-        # all).  The relation is keyed by the source TERM, not the
-        # per-site candidate key — sites re-join at the end, so the
-        # loop's shuffles move (u, v) term pairs only.  Scale note: this
-        # computes the closure for ALL graph sources even when df is
-        # narrow; that is the price of log-round convergence (demand-
-        # driven edge discovery from a narrow seed is inherently one hop
-        # per round).  Closure components in shape workloads are chains/
-        # forests, so the all-source closure is O(edges · diameter), not
-        # all-pairs dense.
-        r = _closure(_full_step_relation(inner, triples, reverse))
-
-        # re-attach per-site keys; self pairs keep the site row's tord
-        # (distinct internal join name: callers may key on "__u")
-        back = df.select(*keys,
-                         term_key_col(F.col("node")).alias("__closure_src"))
-        rr = r.withColumnRenamed("__u", "__closure_src")
-        reached = back.join(rr, "__closure_src").select(*keys, "node", "tord")
-        if include_self:
-            reached = df.select(*keys, "node", "tord").unionAll(reached)
-        return _dedup(reached, keys)
+        return _closure_from_sites(df, keys, inner, triples, reverse,
+                                   include_self)
 
     raise TypeError(f"unknown path {path!r}")
+
+
+def _closure_from_sites(df: DataFrame, keys: List[str], inner,
+                        triples: DataFrame, reverse: bool,
+                        include_self: bool) -> DataFrame:
+    # Transitive closure by POINTER DOUBLING over the FULL one-step
+    # relation: R_{k+1} = R_k ∪ R_k∘R_k covers distances 1..2^(k+1),
+    # so the driver loop runs ceil(log2(diameter)) rounds instead of
+    # `diameter` (a 7-hop chain closes in 3 rounds, a 10^6-hop chain
+    # in 20).  The base relation E is ``inner`` applied from EVERY
+    # term in the graph — NOT just df's candidate nodes — because
+    # R∘R composition requires every reachability intermediate to be
+    # a source already present in R; seeding only from candidates
+    # truncates reachability through non-candidate nodes at distance
+    # 1 (round-3 ADVICE, high).  For a plain predicate path E is a
+    # direct projection of the filtered triples (no seed join at
+    # all).  The relation is keyed by the source TERM, not the
+    # per-site candidate key — sites re-join at the end, so the
+    # loop's shuffles move (u, v) term pairs only.  Closure components
+    # in shape workloads are chains/forests, so the all-source closure
+    # is O(edges · diameter), not all-pairs dense; when the growth
+    # guard trips anyway (dense or very deep reachability), evaluation
+    # FALLS BACK to the demand-driven frontier loop below — bounded by
+    # the seeds' actual reachable set, at diameter-many rounds.
+    try:
+        r = _closure(_full_step_relation(inner, triples, reverse))
+    except RuntimeError as exc:
+        if "refusing to go quadratic" not in str(exc):
+            raise
+        return _seeded_closure(df, keys, inner, triples, reverse,
+                               include_self)
+
+    # re-attach per-site keys; self pairs keep the site row's tord
+    # (distinct internal join name: callers may key on "__u")
+    back = df.select(*keys,
+                     term_key_col(F.col("node")).alias("__closure_src"))
+    rr = r.withColumnRenamed("__u", "__closure_src")
+    reached = back.join(rr, "__closure_src").select(*keys, "node", "tord")
+    if include_self:
+        reached = df.select(*keys, "node", "tord").unionAll(reached)
+    return _dedup(reached, keys)
+
+
+def _seeded_closure(df: DataFrame, keys: List[str], inner,
+                    triples: DataFrame, reverse: bool,
+                    include_self: bool) -> DataFrame:
+    """Demand-driven closure: breadth-first frontier expansion from the
+    site rows' own nodes, one ``inner`` hop per round, each round
+    anti-joined against everything already reached.  O(reachable-set)
+    work regardless of how dense the rest of the graph is — the
+    fallback when the all-source pointer-doubling closure would go
+    quadratic.  No composition is involved, so reaching THROUGH
+    non-candidate intermediates is naturally covered (each hop starts
+    from the previous hop's frontier, whatever its nodes are)."""
+    frontier = _dedup(df.select(*keys, "node", "tord"), keys)
+    acc: DataFrame | None = None  # reached at distance >= 1, with __nk
+    for _ in range(MAX_CLOSURE_ITERATIONS):
+        step = eval_path(inner, frontier, keys, triples, reverse)
+        stepk = step.withColumn("__nk", term_key_col(F.col("node")))
+        if acc is not None:
+            # explicit re-projection: a USING-columns anti-join moves
+            # the join keys to the front and unionAll is positional
+            new = stepk.join(acc.select(*keys, "__nk"),
+                             [*keys, "__nk"], "left_anti") \
+                .select(*keys, "node", "tord", "__nk")
+        else:
+            new = stepk.select(*keys, "node", "tord", "__nk")
+        new = new.localCheckpoint(eager=False)
+        if new.count() == 0:
+            break
+        acc = new if acc is None else \
+            acc.unionAll(new).localCheckpoint(eager=False)
+        frontier = new.drop("__nk")
+    else:
+        raise RuntimeError("seeded property-path closure exceeded "
+                           "iteration cap")
+    parts = []
+    if include_self:
+        parts.append(df.select(*keys, "node", "tord"))
+    if acc is not None:
+        parts.append(acc.drop("__nk"))
+    if not parts:
+        return _dedup(df.select(*keys, "node", "tord").limit(0), keys)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return _dedup(out, keys)
 
 
 def _closure(base: DataFrame) -> DataFrame:

@@ -194,3 +194,35 @@ def test_dense_closure_growth_guard_raises(spark):
     rel2 = _full_step_relation(PredicatePath(EX + "next"),
                                triples_df(spark, short), reverse=False)
     assert _closure(rel2).count() == 20 * (5 + 4 + 3 + 2 + 1)
+
+
+def test_dense_closure_falls_back_to_seeded_frontier(spark):
+    """When the growth guard trips, eval_path switches to the
+    demand-driven frontier closure: correct reachable sets from the
+    site seeds, bounded by THEIR reachability, not the whole graph."""
+    from pyspark.sql import functions as F
+
+    from ramp_shapes_spark.paths import eval_path
+    from ramp_shapes_spark.dataset import term_key_col
+
+    n = 200  # same guard-tripping chain as the guard test
+    t = [(iri(f"c{i}"), EX + "next", iri(f"c{i+1}")) for i in range(n)]
+    tri = triples_df(spark, t)
+
+    def seeds(*names):
+        rows = [(iri(x).as_row(), i) for i, x in enumerate(names)]
+        df = spark.createDataFrame(
+            rows, "node struct<kind:string,value:string,dt:string,"
+                  "lang:string>, tord long")
+        return df.select(term_key_col(F.col("node")).alias("k"),
+                         "node", "tord")
+
+    out = eval_path(OneOrMorePath(PredicatePath(EX + "next")),
+                    seeds("c150"), ["k"], tri)
+    got = sorted(r["node"]["value"] for r in out.collect())
+    assert got == sorted(f"c{i}" for i in range(151, n + 1))
+
+    out2 = eval_path(ZeroOrMorePath(PredicatePath(EX + "next")),
+                     seeds("c198"), ["k"], tri)
+    got2 = sorted(r["node"]["value"] for r in out2.collect())
+    assert got2 == ["c198", "c199", "c200"]
