@@ -130,7 +130,7 @@ def _absent_code_sql(engine, sid: ShapeID, term: str) -> str:
                 cases.append(f"WHEN true THEN {ERR_MIN_COUNT}")
                 settled = True
                 break
-        # optrec / map / optional pathleaf tolerate emptiness
+        # optrec / map / mapref / optional pathleaf tolerate emptiness
     if not settled:
         # every property tolerates emptiness — unreachable for shapes
         # passing qualifies() (the anchor plain property always fails
@@ -343,7 +343,7 @@ def mismatch_rel(engine, sid: ShapeID) -> DataFrame:
                 code += f"WHEN {nm} > {max_c} THEN {ERR_MAX_COUNT} "
             code += "END"
             codes[i] = code
-        elif kind == "map":
+        elif kind in ("map", "mapref"):
             e = _edges(engine, plan[1], plan[2])
             ce = _child_coded_edges(engine, e, plan[4], i)
             agg = _agg_item_outcomes(ce, i)

@@ -149,27 +149,39 @@ def _classify(engine, prop: Property):
             return ("bigsetrec", pred, inv, vs, vs.item_shape)
         return None
     if isinstance(vs, MapShape):
-        if vs.value is not None:
-            return None  # value-refs: general path
         item = engine.catalog.get(vs.item_shape)
         if not (isinstance(item, RecordShape) and qualifies(engine, item)):
             return None
-        # key must be captured from a PLAIN (exactly-one) direct leaf
-        # property of the item record, so every matching item has
-        # exactly one captured key term (no code-217 cases)
-        target_key = vs.key.target.key()
-        key_prop = None
-        for p in item.type_properties + item.properties:
-            if p.value_shape.key() == target_key:
-                pf = engine._fast_kind(p)
-                if pf is not None and pf[0] == "plain" and \
-                        not is_self_path(p.path):
-                    key_prop = p
-                break
+        # key (and a value reference's target) must be captured from a
+        # PLAIN (exactly-one) direct leaf property of the item record,
+        # so every matching item has exactly one captured term
+        # (no code-217 cases)
+        key_prop = _plain_leaf_prop(engine, item, vs.key.target.key())
         if key_prop is None:
             return None
+        if vs.value is not None:
+            value_prop = _plain_leaf_prop(engine, item,
+                                          vs.value.target.key())
+            if value_prop is None:
+                return None
+            return ("mapref", pred, inv, vs, vs.item_shape, key_prop,
+                    vs.key.part or "value", value_prop, vs.value.part)
         return ("map", pred, inv, vs, vs.item_shape, key_prop,
                 vs.key.part or "value")
+    return None
+
+
+def _plain_leaf_prop(engine, item: RecordShape,
+                     target_key: str) -> Optional[Property]:
+    """The item record's plain (exactly-one) direct-leaf property whose
+    value shape is the referenced target, or None."""
+    for p in item.type_properties + item.properties:
+        if p.value_shape.key() == target_key:
+            pf = engine._fast_kind(p)
+            if pf is not None and pf[0] == "plain" and \
+                    not is_self_path(p.path):
+                return p
+            return None
     return None
 
 
@@ -249,13 +261,14 @@ def record_rel(engine, sid: ShapeID) -> DataFrame:
     rel = engine._fast_rel.get(key)
     if rel is not None:
         return rel
-    rel = _build_rel(engine, sid, capture=None)[0]
+    rel = _build_rel(engine, sid, captures=None)[0]
     engine._fast_rel[key] = rel
     return rel
 
 
 def _scalar_base(engine, all_props,
-                 capture: Optional[Property] = None) -> Optional[DataFrame]:
+                 captures: Optional[List[Property]] = None
+                 ) -> Optional[DataFrame]:
     """ONE groupBy with O(1)-state scalar aggregates instead of the
     generic windowed pmap gather — available when every gather-kind
     property is plain / optional / self.  Exactly-one and 0-or-1
@@ -337,16 +350,19 @@ def _scalar_base(engine, all_props,
         exprs.append(
             f"named_struct('ok', {ok}, 'value', CAST(({val}) AS STRING)) "
             f"AS __st{i}")
-        if capture is not None and prop is capture:
-            exprs.append(f"(__m1{i}).o AS __capt")
+        if captures:
+            for ci, cp in enumerate(captures):
+                if prop is cp:
+                    exprs.append(f"(__m1{i}).o AS __capt{ci}")
     return base.selectExpr(*exprs)
 
 
-def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
-    """Build the match relation.  ``capture`` (a plain leaf property of
-    this record) additionally exports ``__capt`` — the matched object
-    TERM of that property — for map-key referencing.  Returns
-    (relation, n_joins) where relation is (fkey, __fval[, __capt])."""
+def _build_rel(engine, sid: ShapeID,
+               captures: Optional[List[Property]]):
+    """Build the match relation.  ``captures`` (plain leaf properties
+    of this record) additionally export ``__capt{i}`` — the matched
+    object TERM of each — for map key/value referencing.  Returns
+    (relation, n_joins) where relation is (fkey, __fval[, __capt0…])."""
     shape: RecordShape = engine.catalog.get(sid)
 
     all_props: List[Tuple[Property, tuple]] = [
@@ -359,7 +375,7 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
         if plan[0] in ("gather", "anyleaf")
     }
 
-    rel = _scalar_base(engine, all_props, capture)
+    rel = _scalar_base(engine, all_props, captures)
     if rel is None:
         # bounded-set properties: the array gather off the shared pmap
         base = engine.subject_props()  # (skey, __pmap, sord)
@@ -375,13 +391,17 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
                 st = engine._s_fast_stat(prop, plan[1], plan[2], plan[3],
                                          "''")
                 exprs.append(f"({st}) AS __st{i}")
-                if capture is not None and prop is capture:
-                    # first matched object term (exactly-one ⇒ unique)
-                    fail_x, _ = engine._s_node_checks(plan[3], "x.o")
-                    objs = f"coalesce((__po{i}).objs, array())"
-                    exprs.append(
-                        f"(try_element_at(filter({objs}, "
-                        f"x -> NOT {fail_x}), 1)).o AS __capt")
+                if captures:
+                    for ci, cp in enumerate(captures):
+                        if prop is not cp:
+                            continue
+                        # first matched object term (exactly-one ⇒
+                        # unique)
+                        fail_x, _ = engine._s_node_checks(plan[3], "x.o")
+                        objs = f"coalesce((__po{i}).objs, array())"
+                        exprs.append(
+                            f"(try_element_at(filter({objs}, "
+                            f"x -> NOT {fail_x}), 1)).o AS __capt{ci}")
         rel = base.selectExpr(*exprs)
 
     # --- per-predicate joins for record/set/map-valued properties
@@ -657,19 +677,41 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
                 f"CASE WHEN {ok} THEN "
                 f"concat({s_str(_jkey(prop))}, {val}) END")
             join_specs.append((i, ok, frag))
-        elif kind == "map":
+        elif kind in ("map", "mapref"):
             item_sid, key_prop, part = plan[4], plan[5], plan[6]
-            ikey = item_sid.key() + "\x1e" + key_prop.name
+            caps = [key_prop]
+            if kind == "mapref":
+                caps.append(plan[7])
+            ikey = item_sid.key() + "\x1e" + \
+                "\x1e".join(p.name for p in caps)
             child = engine._fast_rel.get(ikey)
             if child is None:
-                child = _build_rel(engine, item_sid, capture=key_prop)[0]
+                child = _build_rel(engine, item_sid, captures=caps)[0]
                 engine._fast_rel[ikey] = child
             part_col = (
-                "(__capt).value" if part == "value" else
-                "(__capt).dt" if part == "datatype" else "(__capt).lang"
+                "(__capt0).value" if part == "value" else
+                "(__capt0).dt" if part == "datatype" else
+                "(__capt0).lang"
             )
+            if kind == "mapref":
+                # value-reference map: the entry VALUE is the referenced
+                # part of the captured term (compactByReference,
+                # synthesize.ts:11-36) — a json-quoted term part, or the
+                # target leaf's framed value for a part-less reference
+                vpart = plan[8]
+                vshape2 = engine.catalog.get(plan[7].value_shape)
+                if vpart == "value":
+                    cval = _s_json_quote("(__capt1).value")
+                elif vpart == "datatype":
+                    cval = _s_json_quote("(__capt1).dt")
+                elif vpart == "language":
+                    cval = _s_json_quote("(__capt1).lang")
+                else:  # part None: the framed value of the target
+                    cval = engine._s_node_value(vshape2, "__capt1")
+            else:
+                cval = "__fval"
             cj = child.selectExpr(
-                f"fkey AS __ck{i}", "__fval AS __cv",
+                f"fkey AS __ck{i}", f"({cval}) AS __cv",
                 f"{part_col} AS __ckey")
             ee = e.join(
                 cj, F.expr(s_term_key("__eo")) == cj[f"__ck{i}"], "left",
@@ -729,8 +771,8 @@ def _build_rel(engine, sid: ShapeID, capture: Optional[Property]):
     ok_all = " AND ".join(ok_parts) if ok_parts else "true"
     out_cols = ["skey AS fkey", f"concat('{{', {body}, '}}') AS __fval",
                 "focus AS __ffocus", "ord AS __ford"]
-    if capture is not None:
-        out_cols.append("__capt")
+    if captures:
+        out_cols.extend(f"__capt{ci}" for ci in range(len(captures)))
     return rel.where(ok_all).selectExpr(*out_cols), len(join_specs)
 
 

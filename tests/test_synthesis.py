@@ -130,3 +130,62 @@ def test_computed_set_and_empty_synthesis(spark):
     rows = [json.loads(r["value"]) for r in res.matches.collect()]
     assert {"name": "gadget",
             "extra": {"tags": ["s", "s"], "opt": None, "lst": []}} in rows, rows
+
+
+def test_map_value_reference_fast_parity(spark):
+    """Value-reference maps on the FAST tree ('mapref' plan): the
+    captured key/value terms rebuild each entry without the general
+    compiler; every reference part must match the general path."""
+    import pytest as _pytest
+
+    from ramp_shapes_spark import fastframe
+    from ramp_shapes_spark.terms import RDF_TYPE
+
+    for part in ("value", "datatype", None):
+        def build():
+            b = ShapeBuilder()
+            key_shape = b.literal(datatype=XSD_STRING)
+            val_shape = b.literal(datatype=XSD_STRING)
+            entry = b.record(
+                EX + "Entry",
+                properties=[
+                    prop("k", EX + "key", key_shape),
+                    prop("v", EX + "val", val_shape),
+                ],
+            )
+            m = b.map_of(ShapeReference(target=key_shape, part="value"),
+                         entry,
+                         value=ShapeReference(target=val_shape, part=part))
+            root = b.record(
+                EX + "Root",
+                type_properties=[prop("t", RDF_TYPE,
+                                      b.constant(iri(EX + "Root")),
+                                      transient=True)],
+                properties=[prop("entries", EX + "entry", m)],
+            )
+            return b, root
+
+        triples = [(iri("r1"), RDF_TYPE, iri(EX + "Root"))] + [
+            (iri("r1"), EX + "entry", iri("e1")),
+            (iri("e1"), EX + "key", lit("alpha")),
+            (iri("e1"), EX + "val", lit("1")),
+            (iri("r1"), EX + "entry", iri("e2")),
+            (iri("e2"), EX + "key", lit("beta")),
+            (iri("e2"), EX + "val", lit("2")),
+        ]
+
+        b1, root1 = build()
+        fast = FrameEngine(spark, b1.catalog, triples_df(spark, triples),
+                           diagnostics=False, track_errors=False)
+        assert fastframe.qualifies(fast, b1.catalog.get(root1)), \
+            f"mapref (part={part}) should route through the fast tree"
+        fres = fast.frame(root1)
+        fvals = [json.loads(r["value"]) for r in fres.matches.collect()]
+
+        b2, root2 = build()
+        general = FrameEngine(spark, b2.catalog,
+                              triples_df(spark, triples))
+        gvals = [json.loads(r["value"])
+                 for r in general.frame(root2).matches.collect()]
+        assert fvals == gvals and len(fvals) == 1, (
+            f"part={part}:\n fast    {fvals}\n general {gvals}")
