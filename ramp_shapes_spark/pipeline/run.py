@@ -183,11 +183,12 @@ def run_pipeline(
 ) -> PipelineResult:
     """``track_errors=True`` (default) routes malformed turns into the
     coded error channel — ``PipelineResult.frame_errors`` keeps its
-    original contract for existing callers.  Performance-sensitive
-    callers (bench, scaling) pass ``False`` to frame match-only:
-    qualifying shapes then compile through the fast-tree path (one
-    memoized relation per record shape) and ``frame_errors`` is empty
-    BY CONSTRUCTION, not because the input was clean."""
+    original contract for existing callers.  Since the fast-tree error
+    channel (fasterrors.py) qualifying shapes compile through the fast
+    path EITHER WAY when ``diagnostics`` is off: with ``True`` the
+    coded error relation is assembled lazily on first access (measured
+    identical pipeline wall time); with ``False`` ``frame_errors`` is
+    empty BY CONSTRUCTION, not because the input was clean."""
     import threading
 
     scored = score_links(detect_mentions(turns))
