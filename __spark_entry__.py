@@ -83,6 +83,30 @@ def q_bpe_token_counts(spark, sf_dir):
     return subword_stats(_docs(spark, sf_dir))
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing over documents with DETERMINISTIC injected
+    emails/IPs (the synthetic corpus contains none), so the oracle can
+    reconstruct the exact same input and redacted-text hash."""
+    from ramp_shapes_spark.ops.textstats import redact_pii
+    d = _docs(spark, sf_dir)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" ip 10.0."),
+                         (F.col("doc_id") % 250).cast("string"),
+                         F.lit("."),
+                         ((F.col("doc_id") * 7) % 250).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
 def q_neardup_clusters(spark, sf_dir):
     from ramp_shapes_spark.ops.dedup import neardup_clusters
     return neardup_clusters(_docs(spark, sf_dir))
@@ -240,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_roundtrip_counts": R.q_turtle_roundtrip_counts,
         "neardup_clusters": q_neardup_clusters,
         "bpe_token_counts": q_bpe_token_counts,
+        "pii_redaction": q_pii_redaction,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -524,6 +549,43 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_subwords,
                    CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens
             FROM documents
+        """,
+        # the exact PII patterns (Java-regex/RE2-common subset) over the
+        # same deterministically injected corpus; DuckDB regexp_replace
+        # needs the 'g' flag for replace-all (Spark replaces all by
+        # default)
+        "pii_redaction": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now'
+                            || CASE WHEN doc_id % 3 = 0
+                               THEN ' ip 10.0.'
+                                    || CAST(doc_id % 250 AS VARCHAR)
+                                    || '.'
+                                    || CAST((doc_id * 7) % 250 AS VARCHAR)
+                               ELSE '' END AS text
+                FROM documents
+            ), e AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS BIGINT) AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS t2
+                FROM injected
+            )
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(t2,
+                       '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+                   CAST(length(regexp_replace(t2,
+                       '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IP]', 'g'))
+                       AS BIGINT) AS clean_len,
+                   md5(regexp_replace(t2,
+                       '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IP]', 'g'))
+                       AS clean_hash
+            FROM e
         """,
         # en downsampled to 0.25 (threshold 0x4000), other strata kept
         # ('g' sorts above every hex bucket)

@@ -55,7 +55,7 @@ QUERY_GROUPS = {
     ],
     "text": [
         "token_stats", "quality_score", "lang_guess", "doc_fingerprint",
-        "bpe_token_counts", "sample_split_counts",
+        "bpe_token_counts", "pii_redaction", "sample_split_counts",
         "sample_stratified_counts", "media_decode_dims",
     ],
     "ann": [

@@ -129,3 +129,38 @@ def subword_stats(docs: DataFrame, text_col: str = "text",
         F.size(tokens_col(F.col(text_col))).cast("long")
         .alias("n_ws_tokens"),
     )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 subset (no
+# lookaround, no backrefs), so the EXACT same patterns run in the
+# DuckDB oracle: email local@domain.tld and dotted-quad IPv4
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Pattern-based PII scrubbing, the standard pre-training hygiene
+    pass: emails → ``[EMAIL]``, then IPv4 addresses → ``[IP]``
+    (ordered, so an address inside an already-redacted email is not
+    double-counted).  Returns (doc_id, n_emails, n_ips, clean_len,
+    clean_hash) — the hash pins the exact redacted text for
+    cross-engine verification without shipping the full column.
+
+    Scale shape: pure codegen'd column expressions (regexp_extract_all
+    + regexp_replace), zero Python, zero shuffle — the same projection
+    cost at 100 TB as any scan."""
+    t = F.col(text_col)
+    n_email = F.size(
+        F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    after_email = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
+    n_ip = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_IPV4_RE), F.lit(0)))
+    clean = F.regexp_replace(after_email, PII_IPV4_RE, "[IP]")
+    return docs.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_hash"),
+    )

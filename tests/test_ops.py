@@ -495,3 +495,22 @@ def test_neardup_clusters_cover_all_docs(spark, docs):
     )
     assert fix == 0
     cl.unpersist()
+
+
+def test_pii_redaction_behavior(spark):
+    from ramp_shapes_spark.ops.textstats import redact_pii
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk and 192.168.0.1 please"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io z@w.dev one ip 10.0.0.255"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(d).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_ips"]) == (0, 0)
+    assert (out[3]["n_emails"], out[3]["n_ips"]) == (2, 1)
+    # the redacted text is pinned by its hash; re-derive it directly
+    import hashlib
+    exp = "mail [EMAIL] and [IP] please"
+    assert out[1]["clean_hash"] == hashlib.md5(exp.encode()).hexdigest()
+    assert out[1]["clean_len"] == len(exp)
