@@ -112,6 +112,21 @@ def q_neardup_clusters(spark, sf_dir):
     return neardup_clusters(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    """5-gram eval-overlap decontamination: docs with doc_id % 20 == 0
+    play the held-out benchmark; the rest are the training corpus."""
+    from ramp_shapes_spark.ops.decontam import ngram_decontaminate
+    d = _docs(spark, sf_dir)
+    return ngram_decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0), n=5)
+
+
+def q_repetition_stats(spark, sf_dir):
+    from ramp_shapes_spark.ops.decontam import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_sample_split_counts(spark, sf_dir):
     from ramp_shapes_spark.ops.sampling import deterministic_split
     d = deterministic_split(
@@ -265,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "bpe_token_counts": q_bpe_token_counts,
         "pii_redaction": q_pii_redaction,
+        "decontaminate_5gram": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -586,6 +603,67 @@ def oracle_sql() -> dict[str, str]:
                        '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IP]', 'g'))
                        AS clean_hash
             FROM e
+        """,
+        # eval set = doc_id % 20 == 0; a training doc is contaminated
+        # when one of its DISTINCT 5-grams appears anywhere in the eval
+        # corpus; n_hit_grams counts those distinct grams
+        "decontaminate_5gram": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            epos AS (
+                SELECT doc_id, unnest(generate_series(1, len(w) - 4)) AS i,
+                       w
+                FROM toks WHERE doc_id % 20 = 0
+            ),
+            eg AS (
+                SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+                FROM epos
+            ),
+            tpos AS (
+                SELECT doc_id, unnest(generate_series(1, len(w) - 4)) AS i,
+                       w
+                FROM toks WHERE doc_id % 20 <> 0
+            ),
+            tg AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+4], ' ') AS gram
+                FROM tpos
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+            FROM tg JOIN eg USING (gram)
+            GROUP BY doc_id
+        """,
+        # most-frequent-bigram coverage via explode+groupBy (the Spark
+        # side computes the same mode inside the row, shuffle-free)
+        "repetition_stats": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ),
+            bpos AS (
+                SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i,
+                       w
+                FROM toks
+            ),
+            bg AS (
+                SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+                FROM bpos
+            ),
+            mx AS (
+                SELECT doc_id, max(c) AS mx FROM (
+                    SELECT doc_id, gram, count(*) AS c
+                    FROM bg GROUP BY doc_id, gram
+                ) GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN len(w) > 0 THEN floor(
+                       10000.0 * len(list_distinct(w)) / len(w) + 0.5)
+                       ELSE 0 END AS BIGINT) AS distinct_x10k,
+                   CAST(CASE WHEN len(w) > 0 THEN floor(
+                       20000.0 * coalesce(mx.mx, 0) / len(w) + 0.5)
+                       ELSE 0 END AS BIGINT) AS top_bigram_x10k
+            FROM toks t LEFT JOIN mx ON t.doc_id = mx.doc_id
         """,
         # en downsampled to 0.25 (threshold 0x4000), other strata kept
         # ('g' sorts above every hex bucket)

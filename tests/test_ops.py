@@ -514,3 +514,38 @@ def test_pii_redaction_behavior(spark):
     exp = "mail [EMAIL] and [IP] please"
     assert out[1]["clean_hash"] == hashlib.md5(exp.encode()).hexdigest()
     assert out[1]["clean_len"] == len(exp)
+
+
+def test_repetition_stats_known_values(spark):
+    from ramp_shapes_spark.ops.decontam import repetition_stats
+    rows = spark.createDataFrame(
+        [(1, "a b a b a b"),   # top bigram "a b" x3 -> 2*3/6 = 1.0
+         (2, "x y z"),         # every bigram unique -> 2*1/3
+         (3, "solo"),          # no bigram
+         (4, "")],             # no tokens
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(rows).collect()}
+    assert (got[1]["n_tokens"], got[1]["distinct_x10k"],
+            got[1]["top_bigram_x10k"]) == (6, 3333, 10000)
+    assert (got[2]["n_tokens"], got[2]["distinct_x10k"],
+            got[2]["top_bigram_x10k"]) == (3, 10000, 6667)
+    assert (got[3]["n_tokens"], got[3]["top_bigram_x10k"]) == (1, 0)
+    assert (got[4]["n_tokens"], got[4]["distinct_x10k"],
+            got[4]["top_bigram_x10k"]) == (0, 0, 0)
+
+
+def test_ngram_decontaminate_shared_gram(spark):
+    from ramp_shapes_spark.ops.decontam import ngram_decontaminate
+    train = spark.createDataFrame(
+        [(1, "p q r s t u v"),       # contains eval 5-gram q r s t u
+         (2, "a b c d e f"),         # clean
+         (3, "q r s t"),             # shorter than n -> never flagged
+         (4, "q r s t u q r s t u")],  # gram repeats; distinct-counted once
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "zz q r s t u yy")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_hit_grams"]
+           for r in ngram_decontaminate(train, ev, n=5).collect()}
+    assert got == {1: 1, 4: 1}
