@@ -127,6 +127,53 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing of the document token stream into
+    64-token training sequences over 16 deterministic groups."""
+    from ramp_shapes_spark.ops.packing import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), budget=64, n_groups=16)
+
+
+def q_quota_sample(spark, sf_dir):
+    """Mixture control: cap every source at 18 documents, selected by
+    the deterministic md5 ranking; returns the kept (doc, rank) rows."""
+    from ramp_shapes_spark.ops.packing import quota_sample
+    kept = quota_sample(_docs(spark, sf_dir), quota=18,
+                        group_col="source")
+    return kept.select("doc_id", "source",
+                       F.col("__rank").alias("rk"))
+
+
+def q_url_domain_blocked(spark, sf_dir):
+    """URL extraction + domain blocklist over documents with
+    DETERMINISTIC injected URLs (the synthetic corpus has none), so the
+    oracle reconstructs the same input."""
+    from ramp_shapes_spark.ops.packing import url_domain_stats
+    d = _docs(spark, sf_dir)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://sub"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" and http://cdn.badsite"),
+                         (F.col("doc_id") % 2).cast("string"),
+                         F.lit(".net/x")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    block = spark.createDataFrame(
+        [("badsite0.net",), ("badsite1.net",)], ["domain"])
+    out = url_domain_stats(injected, block)
+    return out.select(
+        "doc_id", "n_urls",
+        F.array_join("domains", ",").alias("domains"),
+        F.col("blocked").cast("long").alias("blocked"))
+
+
 def q_sample_split_counts(spark, sf_dir):
     from ramp_shapes_spark.ops.sampling import deterministic_split
     d = deterministic_split(
@@ -282,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "decontaminate_5gram": q_decontaminate,
         "repetition_stats": q_repetition_stats,
+        "pack_sequences_spans": q_pack_sequences,
+        "quota_sample_rows": q_quota_sample,
+        "url_domain_blocked": q_url_domain_blocked,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -664,6 +714,84 @@ def oracle_sql() -> dict[str, str]:
                        20000.0 * coalesce(mx.mx, 0) / len(w) + 0.5)
                        ELSE 0 END AS BIGINT) AS top_bigram_x10k
             FROM toks t LEFT JOIN mx ON t.doc_id = mx.doc_id
+        """,
+        # concat-and-chunk packing: identical window math (group =
+        # doc_id % 16, stream order = doc_id, budget 64 tokens)
+        "pack_sequences_spans": f"""
+            WITH nz AS (
+                SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS grp,
+                       CAST(len({_TOKS}) AS BIGINT) AS n
+                FROM documents
+                WHERE len({_TOKS}) > 0
+            ), cum AS (
+                SELECT doc_id, grp, n,
+                       SUM(n) OVER (PARTITION BY grp ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n AS cb
+                FROM nz
+            ), spans AS (
+                SELECT doc_id, grp, n, cb,
+                       unnest(generate_series(CAST(cb // 64 AS BIGINT),
+                           CAST((cb + n - 1) // 64 AS BIGINT))) AS seq
+                FROM cum
+            )
+            SELECT doc_id, grp, CAST(seq AS BIGINT) AS seq,
+                   CAST(GREATEST(seq * 64 - cb, 0) AS BIGINT) AS tok_start,
+                   CAST(LEAST(seq * 64 + 64 - cb, n)
+                        - GREATEST(seq * 64 - cb, 0) AS BIGINT) AS n_toks,
+                   CAST(GREATEST(cb - seq * 64, 0) AS BIGINT) AS seq_pos
+            FROM spans
+        """,
+        # per-source quota: the same deterministic md5 ranking
+        "quota_sample_rows": """
+            SELECT doc_id, source, rk FROM (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         AS BIGINT) AS rk
+                FROM documents
+            ) WHERE rk <= 18
+        """,
+        # URL regex + last-two-label domain + blocklist membership over
+        # the same deterministically injected corpus
+        "url_domain_blocked": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' see https://sub'
+                            || CAST(doc_id % 7 AS VARCHAR)
+                            || '.example' || CAST(doc_id % 5 AS VARCHAR)
+                            || '.com/p/' || CAST(doc_id AS VARCHAR)
+                            || CASE WHEN doc_id % 5 = 0
+                               THEN ' and http://cdn.badsite'
+                                    || CAST(doc_id % 2 AS VARCHAR)
+                                    || '.net/x'
+                               ELSE '' END AS text
+                FROM documents
+            ), u AS (
+                SELECT doc_id,
+                       regexp_extract_all(text,
+                           'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?')
+                         AS urls
+                FROM injected
+            ), d AS (
+                SELECT doc_id,
+                       CAST(len(urls) AS BIGINT) AS n_urls,
+                       list_sort(list_distinct(list_transform(urls, x ->
+                           array_to_string(
+                               (string_split(regexp_extract(x,
+                                    'https?://([A-Za-z0-9.-]+)', 1), '.'))[
+                                 GREATEST(len(string_split(regexp_extract(x,
+                                    'https?://([A-Za-z0-9.-]+)', 1), '.'))
+                                    - 1, 1):],
+                               '.')))) AS domains
+                FROM u
+            )
+            SELECT doc_id, n_urls,
+                   array_to_string(domains, ',') AS domains,
+                   CAST(len(list_filter(domains, dd ->
+                       dd IN ('badsite0.net', 'badsite1.net'))) > 0
+                     AS BIGINT) AS blocked
+            FROM d
         """,
         # en downsampled to 0.25 (threshold 0x4000), other strata kept
         # ('g' sorts above every hex bucket)

@@ -57,6 +57,7 @@ QUERY_GROUPS = {
         "token_stats", "quality_score", "lang_guess", "doc_fingerprint",
         "bpe_token_counts", "pii_redaction", "sample_split_counts",
         "sample_stratified_counts", "media_decode_dims",
+        "pack_sequences_spans", "quota_sample_rows", "url_domain_blocked",
     ],
     "ann": [
         "ann_brute_topk", "ann_ivf_kmeans_topk", "ann_ivf_topk",

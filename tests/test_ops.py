@@ -549,3 +549,77 @@ def test_ngram_decontaminate_shared_gram(spark):
     got = {r["doc_id"]: r["n_hit_grams"]
            for r in ngram_decontaminate(train, ev, n=5).collect()}
     assert got == {1: 1, 4: 1}
+
+
+def test_pack_sequences_spans(spark):
+    from ramp_shapes_spark.ops.packing import pack_sequences
+    rows = [
+        (0, "t0 t1 t2 t3 t4"),   # grp 0: 5 tokens
+        (2, "u0 u1 u2 u3"),      # grp 0: 4 tokens (stream pos 5..8)
+        (4, ""),                 # grp 0: empty -> no rows
+        (6, "v0 v1 v2"),         # grp 0: 3 tokens (stream pos 9..11)
+        (1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),  # grp 1 alone: 10 tokens
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(d, budget=4, n_groups=2)
+    got = {(r["doc_id"], r["seq"]):
+           (r["grp"], r["tok_start"], r["n_toks"], r["seq_pos"])
+           for r in out.collect()}
+    # grp 0 stream: doc0[0..4] doc2[5..8] doc6[9..11], budget 4
+    assert got[(0, 0)] == (0, 0, 4, 0)   # seq0 = doc0 toks 0-3
+    assert got[(0, 1)] == (0, 4, 1, 0)   # seq1 starts with doc0 tok 4
+    assert got[(2, 1)] == (0, 0, 3, 1)   # then doc2 toks 0-2
+    assert got[(2, 2)] == (0, 3, 1, 0)   # seq2 = doc2 tok 3 ...
+    assert got[(6, 2)] == (0, 0, 3, 1)   # ... + all of doc6
+    # grp 1: doc1 spans seqs 0-2 exactly
+    assert got[(1, 0)] == (1, 0, 4, 0)
+    assert got[(1, 1)] == (1, 4, 4, 0)
+    assert got[(1, 2)] == (1, 8, 2, 0)
+    assert (0, 4) not in [k for k in got if k[0] == 4]  # empty doc absent
+    assert len(got) == 8
+    # every sequence's spans tile the budget (except each group's tail)
+    import collections
+    per_seq = collections.defaultdict(int)
+    for (doc, seq), (grp, _, n, _) in got.items():
+        per_seq[(grp, seq)] += n
+    assert per_seq[(0, 0)] == 4 and per_seq[(0, 1)] == 4
+    assert per_seq[(0, 2)] == 4  # 12 tokens in grp 0 -> 3 full seqs
+    assert per_seq[(1, 2)] == 2  # grp 1 tail
+
+
+def test_quota_sample_deterministic(spark):
+    from ramp_shapes_spark.ops.packing import quota_sample
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = quota_sample(d, quota=10, group_col="source")
+    byg = {}
+    for r in kept.collect():
+        byg.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(byg["big"]) == 10       # capped
+    assert len(byg["small"]) == 10     # under quota: all kept
+    # deterministic: a rerun (and a repartitioned rerun) agrees exactly
+    again = quota_sample(d.repartition(7), quota=10, group_col="source")
+    byg2 = {}
+    for r in again.collect():
+        byg2.setdefault(r["source"], []).append(r["doc_id"])
+    assert {k: sorted(v) for k, v in byg.items()} == \
+        {k: sorted(v) for k, v in byg2.items()}
+
+
+def test_url_domain_stats(spark):
+    from ramp_shapes_spark.ops.packing import url_domain_stats
+    rows = [
+        (1, "intro https://a.b.example.com/path?q=1 mid "
+            "http://evil.net/x end"),
+        (2, "no urls at all"),
+        (3, "bare http://localhost:8080/api and https://evil.net again"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    block = spark.createDataFrame([("evil.net",)], ["domain"])
+    got = {r["doc_id"]: r for r in url_domain_stats(d, block).collect()}
+    assert got[1]["n_urls"] == 2
+    assert sorted(got[1]["domains"]) == ["evil.net", "example.com"]
+    assert got[1]["blocked"] is True
+    assert got[2]["n_urls"] == 0 and got[2]["blocked"] is False
+    assert got[3]["blocked"] is True
+    assert "localhost" in got[3]["domains"]
