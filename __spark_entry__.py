@@ -174,6 +174,29 @@ def q_url_domain_blocked(spark, sf_dir):
         F.col("blocked").cast("long").alias("blocked"))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-level paragraph (boilerplate) dedup over documents with
+    DETERMINISTIC injected paragraph breaks: the synthetic corpus has
+    no newlines, so every literal ' line ' token becomes one (plain
+    leftmost non-overlapping string replace — identical semantics in
+    Spark and DuckDB)."""
+    from ramp_shapes_spark.ops.dedup import paragraph_dedup
+    d = _docs(spark, sf_dir)
+    injected = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" line "), F.lit("\n"))
+        .alias("text"),
+    )
+    return paragraph_dedup(injected)
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Global vocabulary heavy hitters (top-100 tokens by corpus
+    occurrence count, deterministic tie-break)."""
+    from ramp_shapes_spark.ops.textstats import vocab_topk
+    return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
 def q_sample_split_counts(spark, sf_dir):
     from ramp_shapes_spark.ops.sampling import deterministic_split
     d = deterministic_split(
@@ -332,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_spans": q_pack_sequences,
         "quota_sample_rows": q_quota_sample,
         "url_domain_blocked": q_url_domain_blocked,
+        "paragraph_dedup": q_paragraph_dedup,
+        "vocab_topk": q_vocab_topk,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -792,6 +817,66 @@ def oracle_sql() -> dict[str, str]:
                        dd IN ('badsite0.net', 'badsite1.net'))) > 0
                      AS BIGINT) AS blocked
             FROM d
+        """,
+        # paragraph breaks injected by replacing ' line ' with \n (plain
+        # string replace, same leftmost non-overlapping scan in both
+        # engines); paragraphs occurring > 2 times corpus-wide dropped,
+        # documents rebuilt preserving paragraph order
+        "paragraph_dedup": """
+            WITH injected AS (
+                SELECT doc_id, replace(text, ' line ', chr(10)) AS text
+                FROM documents
+            ), paras AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS ps
+                FROM injected
+            ), e2 AS (
+                SELECT doc_id, i, ps[i] AS para FROM (
+                    SELECT doc_id,
+                           unnest(generate_series(1, len(ps))) AS i, ps
+                    FROM paras)
+            ), hot AS (
+                SELECT md5(para) AS ph FROM e2
+                GROUP BY md5(para) HAVING count(*) > 2
+            ), kept AS (
+                SELECT doc_id, i, para FROM e2
+                WHERE md5(para) NOT IN (SELECT ph FROM hot)
+            ), reb AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       array_to_string(list(para ORDER BY i), chr(10))
+                         AS clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(len(b.ps) AS BIGINT) AS n_paras,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(length(coalesce(r.clean, '')) AS BIGINT)
+                     AS clean_len,
+                   md5(coalesce(r.clean, '')) AS clean_hash
+            FROM paras b LEFT JOIN reb r USING (doc_id)
+        """,
+        # top-100 corpus tokens; ties broken by token text so the
+        # limit boundary is engine-independent
+        "vocab_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ), t AS (
+                SELECT doc_id, unnest(w) AS token FROM toks
+            ), c AS (
+                SELECT token,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                       CAST(count(*) AS BIGINT) AS n_occurrences
+                FROM t GROUP BY token
+            )
+            SELECT token, n_docs, n_occurrences,
+                   CAST(row_number() OVER (
+                       ORDER BY n_occurrences DESC, token) AS BIGINT)
+                     AS vocab_rank
+            FROM c
+            ORDER BY n_occurrences DESC, token
+            LIMIT 100
         """,
         # en downsampled to 0.25 (threshold 0x4000), other strata kept
         # ('g' sorts above every hex bucket)

@@ -414,3 +414,70 @@ def neardup_clusters(docs: DataFrame, text_col: str = "text",
             .cast("long").alias("canonical"),
         )
     )
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n",
+                    max_repeats: int = 2) -> DataFrame:
+    """Corpus-level paragraph dedup — the CCNet/RefinedWeb boilerplate
+    removal pass: count each distinct paragraph's occurrences across
+    the WHOLE corpus, then rebuild every document keeping only
+    paragraphs that occur at most ``max_repeats`` times (headers,
+    footers, cookie banners and license blurbs repeat far more often
+    and are dropped).  Returns one row per document:
+    ``(doc_id, n_paras, n_kept, clean_len, clean_hash)`` where
+    ``clean_hash`` pins the exact rebuilt text (paragraph order
+    preserved, joined by ``sep``) for cross-engine verification
+    without shipping the full column.
+
+    Scale shape: one explode → one global groupBy on the paragraph
+    md5 with map-side partial combine (the Zipf head of repeated
+    boilerplate is absorbed by the combiners) → a LEFT ANTI join
+    whose right side is ONLY the boilerplate head (paragraphs with
+    count > max_repeats — a tiny fraction of distinct paragraphs, so
+    AQE plans it as a broadcast join at any corpus size) → one
+    per-document rebuild aggregation.  No per-paragraph shuffle ever
+    keys on document content longer than an md5.
+    """
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    ex = (
+        docs.select(F.col(id_col), F.posexplode(paras)
+                    .alias("__pos", "__para"))
+        .withColumn("__ph", F.md5("__para"))
+    )
+    hot = (
+        ex.groupBy("__ph").agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_repeats)
+        .select("__ph")
+    )
+    rebuilt = (
+        ex.join(hot, "__ph", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("__pos", "__para"))),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("__clean"),
+        )
+    )
+    base = docs.select(F.col(id_col), F.size(paras).alias("n_paras"))
+    clean = F.coalesce(F.col("__clean"), F.lit(""))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.coalesce(F.col("__n_kept"), F.lit(0))
+            .cast("long").alias("n_kept"),
+            F.length(clean).cast("long").alias("clean_len"),
+            F.md5(clean).alias("clean_hash"),
+        )
+    )

@@ -164,3 +164,33 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean).alias("clean_hash"),
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Global vocabulary heavy hitters: the ``k`` most frequent tokens
+    corpus-wide.  Returns ``(token, n_docs, n_occurrences, vocab_rank)``
+    with a fully deterministic order (occurrences desc, token asc —
+    ties cannot reorder between runs or engines).
+
+    Scale shape: one explode → one groupBy(token) where the raw count
+    is a map-side partial combine and the document frequency is a
+    two-phase distinct aggregate; the top-k itself is a TakeOrdered
+    (per-partition heap + driver merge of k rows), NOT a global sort
+    shuffle — the driver never sees more than k rows per partition.
+    The rank column is a window over the k-row result (single tiny
+    partition, after the limit)."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+        F.col(id_col),
+    )
+    counts = ex.groupBy("token").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.withColumn(
+        "vocab_rank", F.row_number().over(w).cast("long"))

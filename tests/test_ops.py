@@ -623,3 +623,65 @@ def test_url_domain_stats(spark):
     assert got[2]["n_urls"] == 0 and got[2]["blocked"] is False
     assert got[3]["blocked"] is True
     assert "localhost" in got[3]["domains"]
+
+
+def test_paragraph_dedup_drops_boilerplate(spark):
+    """A paragraph repeated >2 times corpus-wide is removed from every
+    document; order of surviving paragraphs is preserved; a document
+    made entirely of boilerplate rebuilds to the empty string."""
+    from ramp_shapes_spark.ops.dedup import paragraph_dedup
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{boiler}\nbeta two"),
+            (2, f"{boiler}\ngamma three"),
+            (3, f"delta four\n{boiler}"),
+            (4, boiler),
+            (5, "unique only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 2
+    assert out[4]["n_paras"] == 1 and out[4]["n_kept"] == 0
+    assert out[4]["clean_len"] == 0
+    assert out[5]["n_kept"] == 1
+    # order preserved: doc 1 rebuilds to "alpha one\nbeta two"
+    import hashlib
+    assert out[1]["clean_hash"] == hashlib.md5(
+        b"alpha one\nbeta two").hexdigest()
+    assert out[1]["clean_len"] == len("alpha one\nbeta two")
+
+
+def test_paragraph_dedup_respects_max_repeats(spark):
+    """max_repeats is inclusive: a paragraph occurring exactly
+    max_repeats times survives."""
+    from ramp_shapes_spark.ops.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "twice\nsolo a"), (2, "twice\nsolo b")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, max_repeats=2).collect()}
+    assert out[1]["n_kept"] == 2 and out[2]["n_kept"] == 2
+    strict = {r["doc_id"]: r for r in
+              paragraph_dedup(docs, max_repeats=1).collect()}
+    assert strict[1]["n_kept"] == 1 and strict[2]["n_kept"] == 1
+
+
+def test_vocab_topk_counts_and_rank(spark):
+    from ramp_shapes_spark.ops.textstats import vocab_topk
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "b z")],
+        ["doc_id", "text"],
+    )
+    rows = vocab_topk(docs, k=3).collect()
+    assert [r["token"] for r in rows] == ["a", "b", "c"]
+    by = {r["token"]: r for r in rows}
+    assert by["a"]["n_occurrences"] == 3 and by["a"]["n_docs"] == 2
+    assert by["b"]["n_occurrences"] == 3 and by["b"]["n_docs"] == 3
+    # tie a/b broken by token asc; rank is 1-based and dense over the
+    # returned rows
+    assert [r["vocab_rank"] for r in rows] == [1, 2, 3]
+    # c/z tie at 1 occurrence: c wins the k=3 boundary by token order
+    assert by["c"]["vocab_rank"] == 3
