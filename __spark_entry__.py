@@ -197,6 +197,28 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+def q_events_asof(spark, sf_dir):
+    """Backward as-of join: every click event picks up the most recent
+    prior view by the same user (union-tag + running last-ignorenulls
+    window — one shuffle; DuckDB's native ASOF JOIN is the oracle)."""
+    from ramp_shapes_spark.ops.temporal import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+              .select("user_id", "ts", "event_id", "value")
+    j = asof_join(clicks, views, on="user_id",
+                  right_cols=["ts", "event_id", "value"])
+    return j.select(
+        "event_id", "user_id",
+        F.col("event_id_asof").cast("long").alias("view_event_id"),
+        F.col("value_asof").alias("view_value"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts_asof").cast("timestamp")))
+        .cast("long").alias("gap_us"),
+    )
+
+
 def q_sample_split_counts(spark, sf_dir):
     from ramp_shapes_spark.ops.sampling import deterministic_split
     d = deterministic_split(
@@ -357,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_blocked": q_url_domain_blocked,
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
+        "events_asof_view": q_events_asof,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -877,6 +900,20 @@ def oracle_sql() -> dict[str, str]:
             FROM c
             ORDER BY n_occurrences DESC, token
             LIMIT 100
+        """,
+        # DuckDB's NATIVE asof join vs the Spark union-tag + running
+        # last(ignorenulls) window — two independent formulations of
+        # inclusive backward as-of semantics
+        "events_asof_view": """
+            SELECT c.event_id, c.user_id,
+                   CAST(v.event_id AS BIGINT) AS view_event_id,
+                   v.value AS view_value,
+                   CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT)
+                     AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') v
+            ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         # en downsampled to 0.25 (threshold 0x4000), other strata kept
         # ('g' sorts above every hex bucket)

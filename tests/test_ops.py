@@ -685,3 +685,30 @@ def test_vocab_topk_counts_and_rank(spark):
     assert [r["vocab_rank"] for r in rows] == [1, 2, 3]
     # c/z tie at 1 occurrence: c wins the k=3 boundary by token order
     assert by["c"]["vocab_rank"] == 3
+
+
+def test_asof_join_backward_inclusive(spark):
+    """Inclusive backward as-of: equal timestamps match; left rows
+    before any right row keep nulls; each left row takes the LATEST
+    prior right row per key."""
+    from datetime import datetime
+    from ramp_shapes_spark.ops.temporal import asof_join
+    L = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1, 0, 0, 5)),
+         (2, "u", datetime(2024, 1, 1, 0, 0, 10)),
+         (3, "u", datetime(2024, 1, 1, 0, 0, 1)),
+         (4, "w", datetime(2024, 1, 1, 0, 0, 9))],
+        ["lid", "k", "ts"])
+    R = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1, 0, 0, 3), 30.0),
+         ("u", datetime(2024, 1, 1, 0, 0, 10), 100.0),
+         ("v", datetime(2024, 1, 1, 0, 0, 1), 7.0)],
+        ["k", "ts", "val"])
+    out = {r["lid"]: r for r in
+           asof_join(L, R, on="k", right_cols=["val"]).collect()}
+    assert out[1]["val_asof"] == 30.0      # latest right at ts<=5
+    assert out[2]["val_asof"] == 100.0     # equal ts matches (inclusive)
+    assert out[3]["val_asof"] is None      # before any right row
+    assert out[4]["val_asof"] is None      # key with no right rows
+    # left columns pass through unchanged
+    assert set(out[1].asDict()) == {"lid", "k", "ts", "val_asof"}
