@@ -219,6 +219,66 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_pagerank_nations(spark, sf_dir):
+    """Fixed-point weighted PageRank over the nation trade graph
+    (customer-nation -> supplier-nation, one raw edge per lineitem).
+    Exact 64-bit integer arithmetic end to end, so the DuckDB oracle
+    (same unrolled iterations) matches bit-for-bit regardless of
+    partitioning or reduction order."""
+    from ramp_shapes_spark.ops.graph import pagerank
+    edges = _nation_trade_edges(spark, sf_dir) \
+        .withColumn("weight", F.lit(1))
+    return pagerank(edges)
+
+
+def q_nation_cooccur_lift(spark, sf_dir):
+    """Association lift between supplier nations co-occurring in the
+    same order (exact parts-per-million integers; candidate-edge
+    proposal for the KG)."""
+    from ramp_shapes_spark.ops.graph import cooccur_lift
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select("s_suppkey", "s_nationkey")
+    obs = li.join(s, li.l_suppkey == s.s_suppkey) \
+            .select(F.col("l_orderkey").alias("container"),
+                    F.col("s_nationkey").alias("item"))
+    return cooccur_lift(obs, "container", "item")
+
+
+def _nation_trade_edges(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .select(F.col("c_nationkey").alias("src"),
+                  F.col("s_nationkey").alias("dst"))
+    )
+
+
+def q_triangle_nations(spark, sf_dir):
+    """Per-node triangle counts on the undirected nation trade graph
+    (degree-ordered node-iterator: every triangle enumerated once from
+    its lowest-rank corner — hub-safe wedge fan-out)."""
+    from ramp_shapes_spark.ops.graph import triangle_count
+    return triangle_count(_nation_trade_edges(spark, sf_dir))
+
+
+def q_neighbor_jaccard_nations(spark, sf_dir):
+    """Neighborhood-Jaccard link-prediction scores (exact ppm) between
+    nations sharing a trade partner."""
+    from ramp_shapes_spark.ops.graph import neighbor_jaccard
+    return neighbor_jaccard(_nation_trade_edges(spark, sf_dir))
+
+
 def q_sample_split_counts(spark, sf_dir):
     from ramp_shapes_spark.ops.sampling import deterministic_split
     d = deterministic_split(
@@ -380,6 +440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "vocab_topk": q_vocab_topk,
         "events_asof_view": q_events_asof,
+        "pagerank_nations": q_pagerank_nations,
+        "nation_cooccur_lift": q_nation_cooccur_lift,
+        "triangle_nations": q_triangle_nations,
+        "neighbor_jaccard_nations": q_neighbor_jaccard_nations,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -585,6 +649,26 @@ def _ivf_kmeans_sql(n_clusters: int = 8, nprobe: int = 2, k: int = 3,
                cosine_x10k
         FROM sims QUALIFY rank <= {k}
     """
+
+
+_NATION_EDGES_SQL = """
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+
+def _pagerank_nations_sql() -> str:
+    from ramp_shapes_spark.ops.graph import pagerank_oracle_sql
+    return pagerank_oracle_sql("""
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, 1 AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -914,6 +998,91 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'view') v
             ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        # same unrolled fixed-point iterations as ops/graph.pagerank —
+        # floor division per edge, exact longs, dangling mass dropped
+        "pagerank_nations": _pagerank_nations_sql(),
+        # triangles counted from the canonical (u < v) undirected edge
+        # set: one canonical triple (a < b < c) per triangle, then each
+        # corner gets +1 (the Spark side's degree-ordered enumeration
+        # finds the same set of triangles)
+        "triangle_nations": f"""
+            WITH und AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM ({_NATION_EDGES_SQL}) WHERE src <> dst
+            ),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            corners AS (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            ),
+            nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und)
+            SELECT n.node,
+                   CAST(COALESCE(t.cnt, 0) AS BIGINT) AS triangles
+            FROM nodes n
+            LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM corners
+                       GROUP BY node) t
+              ON t.node = n.node
+        """,
+        "neighbor_jaccard_nations": f"""
+            WITH und AS (
+              SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM ({_NATION_EDGES_SQL}) WHERE src <> dst
+            ),
+            adj AS (
+              SELECT u AS n, v AS nbr FROM und
+              UNION ALL SELECT v, u FROM und
+            ),
+            deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+            centers AS (
+              SELECT adj.n, adj.nbr FROM adj JOIN deg USING (n)
+              WHERE deg.d <= 10000
+            ),
+            common AS (
+              SELECT x.nbr AS node_a, y.nbr AS node_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM centers x JOIN centers y ON x.n = y.n
+              WHERE x.nbr < y.nbr
+              GROUP BY x.nbr, y.nbr
+            )
+            SELECT c.node_a, c.node_b, c.n_common,
+                   (c.n_common * 1000000)
+                     // (da.d + db.d - c.n_common) AS jaccard_ppm
+            FROM common c
+            JOIN deg da ON da.n = c.node_a
+            JOIN deg db ON db.n = c.node_b
+        """,
+        "nation_cooccur_lift": """
+            WITH obs AS (
+              SELECT DISTINCT l.l_orderkey AS c, s.s_nationkey AS i
+              FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            ),
+            sizes AS (SELECT c, COUNT(*) AS n FROM obs GROUP BY c),
+            kept AS (
+              SELECT obs.c, obs.i FROM obs JOIN sizes USING (c)
+              WHERE sizes.n <= 1000
+            ),
+            nc AS (SELECT COUNT(DISTINCT c) AS n_containers FROM kept),
+            ic AS (SELECT i, COUNT(*) AS ni FROM kept GROUP BY i),
+            pairs AS (
+              SELECT a.i AS item_a, b.i AS item_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_ab
+              FROM kept a JOIN kept b ON a.c = b.c AND a.i < b.i
+              GROUP BY a.i, b.i
+            )
+            SELECT p.item_a, p.item_b, p.n_ab,
+                   (p.n_ab * nc.n_containers * 1000000)
+                     // (ia.ni * ib.ni) AS lift_ppm
+            FROM pairs p
+            CROSS JOIN nc
+            JOIN ic ia ON ia.i = p.item_a
+            JOIN ic ib ON ib.i = p.item_b
         """,
         # en downsampled to 0.25 (threshold 0x4000), other strata kept
         # ('g' sorts above every hex bucket)
