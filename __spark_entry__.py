@@ -279,6 +279,16 @@ def q_neighbor_jaccard_nations(spark, sf_dir):
     return neighbor_jaccard(_nation_trade_edges(spark, sf_dir))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: exact-integer k-means clusters,
+    within-cluster cosine pairs at >= 0.95, CC, numeric-min canonical
+    keep/drop map over every vector."""
+    from ramp_shapes_spark.ops.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_clusters=8, iters=2,
+                          threshold_x10k=9500)
+
+
 def q_sample_split_counts(spark, sf_dir):
     from ramp_shapes_spark.ops.sampling import deterministic_split
     d = deterministic_split(
@@ -444,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_cooccur_lift": q_nation_cooccur_lift,
         "triangle_nations": q_triangle_nations,
         "neighbor_jaccard_nations": q_neighbor_jaccard_nations,
+        "semantic_dedup": q_semantic_dedup,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -648,6 +659,83 @@ def _ivf_kmeans_sql(n_clusters: int = 8, nprobe: int = 2, k: int = 3,
                  AS rank,
                cosine_x10k
         FROM sims QUALIFY rank <= {k}
+    """
+
+
+def _semantic_dedup_sql(n_clusters: int = 8,
+                        threshold_x10k: int = 9500) -> str:
+    """Bit-exact twin of ops.similarity.semantic_dedup: the same
+    unrolled 2-iteration integer k-means as _ivf_kmeans_sql, then
+    within-cluster cosine pairs and a recursive-CTE closure with the
+    numeric-minimum canonical."""
+    sqdist = ("list_sum(list_transform(list_zip({a}, {b}), "
+              "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+
+    def assign(cents: str, out: str) -> str:
+        d = sqdist.format(a="e.v", b="c.cv")
+        return f"""
+        {out} AS (
+          SELECT nid, cid FROM (
+            SELECT e.nid, c.cid,
+                   row_number() OVER (PARTITION BY e.nid
+                     ORDER BY {d}, c.cid) AS rn
+            FROM e CROSS JOIN {cents} c) WHERE rn = 1
+        )"""
+
+    def update(assign_t: str, out: str) -> str:
+        return f"""
+        {out} AS (
+          SELECT cid, list(cval ORDER BY dim) AS cv FROM (
+            SELECT {assign_t}.cid, ev.dim,
+                   CAST(floor(sum(ev.val) * 1.0 / count(*)) AS BIGINT)
+                     AS cval
+            FROM {assign_t} JOIN ev USING (nid)
+            GROUP BY {assign_t}.cid, ev.dim)
+          GROUP BY cid
+        )"""
+
+    cos = ("CAST(floor(list_cosine_similarity("
+           "list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+           "list_transform(b.embedding, x -> CAST(x AS DOUBLE))) "
+           "* 10000 + 0.5) AS BIGINT)")
+    return f"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id AS nid,
+                 list_transform(embedding,
+                   x -> CAST(round(x * 10000) AS BIGINT)) AS v
+          FROM embeddings
+        ),
+        ev AS (
+          SELECT nid, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+          FROM e
+        ),
+        c0 AS (SELECT nid AS cid, v AS cv FROM e WHERE nid < {n_clusters}),
+        {assign('c0', 'a0')},
+        {update('a0', 'c1')},
+        {assign('c1', 'a1')},
+        {update('a1', 'c2')},
+        {assign('c2', 'af')},
+        pairs AS (
+          SELECT fa.nid AS id_a, fb.nid AS id_b
+          FROM af fa
+          JOIN af fb ON fa.cid = fb.cid AND fa.nid < fb.nid
+          JOIN embeddings a ON a.vec_id = fa.nid
+          JOIN embeddings b ON b.vec_id = fb.nid
+          WHERE {cos} >= {threshold_x10k}
+        ),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, m) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT edges.d, r.m FROM edges JOIN reach r ON r.node = edges.s
+        )
+        SELECT node AS vec_id,
+               CAST(MIN(m) AS BIGINT) AS canonical,
+               MIN(m) = node AS kept
+        FROM reach GROUP BY node
     """
 
 
@@ -1002,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         # same unrolled fixed-point iterations as ops/graph.pagerank —
         # floor division per edge, exact longs, dangling mass dropped
         "pagerank_nations": _pagerank_nations_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         # triangles counted from the canonical (u < v) undirected edge
         # set: one canonical triple (a < b < c) per triangle, then each
         # corner gets +1 (the Spark side's degree-ordered enumeration

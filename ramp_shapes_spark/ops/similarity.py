@@ -235,3 +235,67 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold_x10k: int = 9500,
                      F.floor(sim * 10000 + F.lit(0.5)).cast("long").alias("cosine_x10k"))
         .filter(F.col("cosine_x10k") >= threshold_x10k)
     )
+
+
+def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_clusters: int = 8,
+                   iters: int = 2,
+                   threshold_x10k: int = 9500) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023:
+    cluster the embedding space, drop all but one member of every
+    tight within-cluster similarity group).
+
+    Pipeline: exact-integer k-means assignment (:func:`kmeans_assign`
+    — bit-deterministic argmin, so the cluster partition is identical
+    on any engine) → within-cluster cosine pairs at
+    ``cosine_x10k >= threshold_x10k`` (:func:`cosine_dup_pairs` over
+    the cluster id as the bucket) → connected components over the
+    pair graph → numeric-minimum canonical per component.  Returns
+    ``(vec_id, canonical, kept)`` for EVERY vector — the keep/drop
+    map a semantic-dedup stage applies to the corpus (kept =
+    vec_id == canonical; singletons keep themselves).
+
+    Scale shape: the only all-pairs step is confined within clusters
+    (the SemDeDup trade — k ~ sqrt(corpus) bounds cluster width), the
+    centroid table broadcasts, the vector table shuffles once on
+    cluster id, and clustering reuses the pipeline's contraction CC.
+    Cross-engine exactness matches :func:`cosine_dup_pairs`: cosines
+    round to the 1e-4 grid before thresholding.
+    """
+    from ramp_shapes_spark.pipeline.canonicalize import (
+        connected_components,
+    )
+
+    neg = embeddings.select(id_col).filter(
+        F.col(id_col) < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            f"semantic_dedup requires non-negative {id_col} values "
+            f"(got {neg[0][0]}): zero-padded lexicographic order must "
+            f"equal numeric order; bias ids into >= 0 first")
+
+    assign, _cents = kmeans_assign(embeddings, n_clusters, iters,
+                                   id_col, vec_col)
+    bucketed = embeddings.join(
+        assign.withColumnRenamed("nid", id_col), id_col)
+    pairs = cosine_dup_pairs(bucketed, threshold_x10k, id_col,
+                             vec_col, bucket_col="cid")
+
+    pad = "%019d"
+    edges = pairs.select(
+        F.format_string(pad, F.col("id_a")).alias("src"),
+        F.format_string(pad, F.col("id_b")).alias("dst"),
+    )
+    cc = connected_components(edges, hot_k=0)
+    return (
+        embeddings.select(
+            F.format_string(pad, F.col(id_col)).alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("vec_id"),
+            F.coalesce(F.col("component"), F.col("node"))
+            .cast("long").alias("canonical"),
+        )
+        .withColumn("kept", (F.col("vec_id") == F.col("canonical"))
+                    .cast("boolean"))
+    )

@@ -712,3 +712,33 @@ def test_asof_join_backward_inclusive(spark):
     assert out[4]["val_asof"] is None      # key with no right rows
     # left columns pass through unchanged
     assert set(out[1].asDict()) == {"lid", "k", "ts", "val_asof"}
+
+
+def test_semantic_dedup_keep_drop_map(spark, emb):
+    from ramp_shapes_spark.ops.similarity import semantic_dedup
+    # inject an exact duplicate of vector 7 with a fresh high id: it
+    # must land in 7's cluster (cos = 1.0) and be dropped in favor of
+    # the numeric-minimum canonical
+    dup_id = 10**6
+    clone = emb.filter(F.col("vec_id") == 7) \
+        .withColumn("vec_id", F.lit(dup_id).cast(emb.schema["vec_id"].dataType))
+    out = semantic_dedup(emb.unionByName(clone), n_clusters=4)
+    m = {r["vec_id"]: (r["canonical"], r["kept"]) for r in out.collect()}
+    assert len(m) == emb.count() + 1
+    canon7, kept7 = m[7]
+    assert m[dup_id][0] == canon7          # same component as vector 7
+    assert m[dup_id][1] is False           # clone never the canonical
+    assert canon7 <= 7
+    # every canonical is itself kept, and kept <=> id == canonical
+    for vid, (canon, kept) in m.items():
+        assert kept == (vid == canon)
+        assert m[canon][1] is True
+
+
+def test_semantic_dedup_rejects_negative_ids(spark):
+    from ramp_shapes_spark.ops.similarity import semantic_dedup
+    bad = spark.createDataFrame(
+        [(-1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-negative"):
+        semantic_dedup(bad)
