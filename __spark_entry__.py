@@ -279,6 +279,14 @@ def q_neighbor_jaccard_nations(spark, sf_dir):
     return neighbor_jaccard(_nation_trade_edges(spark, sf_dir))
 
 
+def q_conv_stats(spark, sf_dir):
+    """Per-conversation turn-taking stats over the committed smoke
+    transcript corpus (one conv_id shuffle feeds both the lag window
+    and the aggregate; exact-integer measures)."""
+    from ramp_shapes_spark.ops.transcripts import conversation_stats
+    return conversation_stats(spark.read.parquet(_KG_SMOKE_PARQUET))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: exact-integer k-means clusters,
     within-cluster cosine pairs at >= 0.95, CC, numeric-min canonical
@@ -455,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_nations": q_triangle_nations,
         "neighbor_jaccard_nations": q_neighbor_jaccard_nations,
         "semantic_dedup": q_semantic_dedup,
+        "conv_turn_stats": q_conv_stats,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -1091,6 +1100,32 @@ def oracle_sql() -> dict[str, str]:
         # floor division per edge, exact longs, dangling mass dropped
         "pagerank_nations": _pagerank_nations_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "conv_turn_stats": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(*) FILTER (role = 'user') AS BIGINT)
+                     AS n_user,
+                   CAST(count(*) FILTER (role = 'assistant') AS BIGINT)
+                     AS n_assistant,
+                   CAST(count(*) FILTER (role = 'tool') AS BIGINT)
+                     AS n_tool,
+                   CAST(count(DISTINCT CASE WHEN tool <> '' THEN tool END)
+                     AS BIGINT) AS n_tools_distinct,
+                   CAST(sum(CASE WHEN prev_role IS NOT NULL
+                                  AND role <> prev_role
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_role_switches,
+                   CAST(sum(COALESCE(gap, 0)) AS BIGINT) AS total_gap_us,
+                   CAST(max(COALESCE(gap, 0)) AS BIGINT) AS max_gap_us
+            FROM (
+              SELECT conv_id, role, tool,
+                     lag(role) OVER w AS prev_role,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+              FROM read_parquet('{_KG_SMOKE_PARQUET}')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            GROUP BY conv_id
+        """,
         # triangles counted from the canonical (u < v) undirected edge
         # set: one canonical triple (a < b < c) per triangle, then each
         # corner gets +1 (the Spark side's degree-ordered enumeration

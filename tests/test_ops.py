@@ -742,3 +742,30 @@ def test_semantic_dedup_rejects_negative_ids(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="non-negative"):
         semantic_dedup(bad)
+
+
+def test_conversation_stats_known_values(spark):
+    from datetime import datetime
+    from ramp_shapes_spark.ops.transcripts import conversation_stats
+    rows = [
+        ("c1", 0, "user", "hi", "", datetime(2024, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", "hello", "", datetime(2024, 1, 1, 0, 0, 2)),
+        ("c1", 2, "tool", "result", "search", datetime(2024, 1, 1, 0, 0, 5)),
+        ("c1", 3, "tool", "result", "search", datetime(2024, 1, 1, 0, 0, 6)),
+        ("c2", 0, "user", "solo", "", datetime(2024, 1, 1, 1, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {r["conv_id"]: r.asDict() for r in
+           conversation_stats(df).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_user"], c1["n_assistant"],
+            c1["n_tool"]) == (4, 1, 1, 2)
+    assert c1["n_tools_distinct"] == 1
+    assert c1["n_role_switches"] == 2      # user->assistant, ->tool
+    assert c1["total_gap_us"] == 6_000_000
+    assert c1["max_gap_us"] == 3_000_000
+    c2 = out["c2"]
+    assert (c2["n_turns"], c2["total_gap_us"], c2["max_gap_us"]) == (1, 0, 0)
+    assert c2["n_role_switches"] == 0
