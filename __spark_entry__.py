@@ -287,6 +287,27 @@ def q_conv_stats(spark, sf_dir):
     return conversation_stats(spark.read.parquet(_KG_SMOKE_PARQUET))
 
 
+def q_tool_transitions(spark, sf_dir):
+    """Tool-call Markov bigrams over the smoke transcript corpus
+    (filter before the lag window; map-side-combinable pair count)."""
+    from ramp_shapes_spark.ops.transcripts import tool_transitions
+    return tool_transitions(spark.read.parquet(_KG_SMOKE_PARQUET))
+
+
+def q_conv_dedup(spark, sf_dir):
+    """Whole-conversation exact dedup over the smoke corpus augmented
+    with a deterministic 'dup-' relabeled copy of ~1/4 of the
+    conversations (md5(conv_id) first hex digit in 0-3), so the query
+    exercises real duplicate groups with known canonicals."""
+    from ramp_shapes_spark.ops.transcripts import conversation_dedup
+    t = spark.read.parquet(_KG_SMOKE_PARQUET)
+    dup = t.filter(
+        F.substring(F.md5(F.col("conv_id")), 1, 1).isin(
+            "0", "1", "2", "3")
+    ).withColumn("conv_id", F.concat(F.lit("dup-"), F.col("conv_id")))
+    return conversation_dedup(t.unionByName(dup))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: exact-integer k-means clusters,
     within-cluster cosine pairs at >= 0.95, CC, numeric-min canonical
@@ -464,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard_nations": q_neighbor_jaccard_nations,
         "semantic_dedup": q_semantic_dedup,
         "conv_turn_stats": q_conv_stats,
+        "tool_transitions": q_tool_transitions,
+        "conv_dedup": q_conv_dedup,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -1125,6 +1148,44 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
             )
             GROUP BY conv_id
+        """,
+        "tool_transitions": f"""
+            SELECT COALESCE(prev_tool, '<start>') AS prev_tool, tool,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM (
+              SELECT tool,
+                     lag(tool) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS prev_tool
+              FROM read_parquet('{_KG_SMOKE_PARQUET}')
+              WHERE tool <> ''
+            )
+            GROUP BY 1, 2
+        """,
+        # same prefix-free encoding as ops/transcripts.py: role,
+        # chr(30), text per turn; turns joined with chr(31)
+        "conv_dedup": f"""
+            WITH base AS (
+              SELECT * FROM read_parquet('{_KG_SMOKE_PARQUET}')
+            ), aug AS (
+              SELECT conv_id, turn_idx, role, text FROM base
+              UNION ALL
+              SELECT 'dup-' || conv_id, turn_idx, role, text FROM base
+              WHERE substr(md5(conv_id), 1, 1) IN ('0','1','2','3')
+            ), fp AS (
+              SELECT conv_id,
+                     md5(string_agg(role || chr(30) || text, chr(31)
+                                    ORDER BY turn_idx)) AS conv_sha
+              FROM aug GROUP BY conv_id
+            ), g AS (
+              SELECT conv_sha,
+                     CAST(count(*) AS BIGINT) AS n_dup_convs,
+                     min(conv_id) AS canonical_conv_id
+              FROM fp GROUP BY conv_sha
+            )
+            SELECT fp.conv_id, fp.conv_sha, g.n_dup_convs,
+                   g.canonical_conv_id,
+                   fp.conv_id = g.canonical_conv_id AS is_canonical
+            FROM fp JOIN g USING (conv_sha)
         """,
         # triangles counted from the canonical (u < v) undirected edge
         # set: one canonical triple (a < b < c) per triangle, then each

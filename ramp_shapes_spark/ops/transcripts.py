@@ -62,3 +62,87 @@ def conversation_stats(
         F.sum("__gap").alias("total_gap_us"),
         F.max("__gap").alias("max_gap_us"),
     )
+
+
+def tool_transitions(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    start_token: str = "<start>",
+) -> DataFrame:
+    """Corpus-level tool-call transition counts (Markov bigrams).
+
+    Within each conversation, the sequence of tool invocations (rows
+    with a non-empty ``tool``) ordered by ``turn_idx`` yields one
+    bigram per call: (previous tool or ``start_token``, tool).  The
+    result is one row per distinct transition with its corpus count —
+    the raw material for agent tool-usage models and anomaly
+    screens (a transition never seen in the reference corpus).
+
+    Scale shape: the non-tool turns are filtered BEFORE the window
+    (predicate reaches the scan), one shuffle on ``conv_col`` for the
+    lag, then a map-side-combinable groupBy on the (prev, tool) pair —
+    the pair domain is tools², tiny, so the final exchange moves
+    almost nothing at any corpus size.
+    """
+    calls = turns.filter(F.col(tool_col) != "").select(
+        F.col(conv_col).alias("__c"),
+        F.col(idx_col).alias("__i"),
+        F.col(tool_col).alias("tool"),
+    )
+    bi = calls.select(
+        F.coalesce(F.lag("tool").over(
+            Window.partitionBy("__c").orderBy("__i")),
+            F.lit(start_token)).alias("prev_tool"),
+        "tool",
+    )
+    return bi.groupBy("prev_tool", "tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"))
+
+
+def conversation_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-conversation exact dedup (replayed-transcript detection).
+
+    A conversation's fingerprint is the md5 of its turns in
+    ``turn_idx`` order, each turn rendered ``role \\x1e text`` and
+    turns joined with ``\\x1f`` (separators make the encoding
+    prefix-free, so no two distinct transcripts collide except by md5).
+    Returns one row per conversation: ``conv_id``, ``conv_sha``,
+    ``n_dup_convs`` (group size), ``canonical_conv_id`` (lexicographic
+    min of the group) and ``is_canonical``.
+
+    Scale shape: one shuffle on ``conv_col`` to assemble each
+    transcript (conversations are bounded-length by nature — this is
+    the one place the pipeline collects a whole conversation into a
+    row, same bound the frame stage already relies on), then one
+    shuffle on the 16-byte fingerprint for the group stats.  Both keys
+    are near-uniform, so no skew defense is needed.
+    """
+    t = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.struct(
+            F.col(idx_col).alias("i"),
+            F.col(role_col).alias("r"),
+            F.col(text_col).alias("x"),
+        ).alias("__t"),
+    )
+    per_conv = t.groupBy("conv_id").agg(
+        F.md5(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("__t")),
+                lambda s: F.concat_ws("\x1e", s["r"], s["x"])),
+            "\x1f")).alias("conv_sha"))
+    groups = per_conv.groupBy("conv_sha").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_convs"),
+        F.min("conv_id").alias("canonical_conv_id"))
+    return per_conv.join(groups, "conv_sha").select(
+        "conv_id", "conv_sha", "n_dup_convs", "canonical_conv_id",
+        (F.col("conv_id") == F.col("canonical_conv_id"))
+        .alias("is_canonical"))

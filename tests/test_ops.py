@@ -769,3 +769,73 @@ def test_conversation_stats_known_values(spark):
     c2 = out["c2"]
     assert (c2["n_turns"], c2["total_gap_us"], c2["max_gap_us"]) == (1, 0, 0)
     assert c2["n_role_switches"] == 0
+
+
+def test_tool_transitions_known_values(spark):
+    from datetime import datetime
+    from ramp_shapes_spark.ops.transcripts import tool_transitions
+    ts = datetime(2024, 1, 1)
+    rows = [
+        # c1: search -> browser -> search (assistant turns interleave)
+        ("c1", 0, "user", "q", "", ts),
+        ("c1", 1, "tool", "r", "search", ts),
+        ("c1", 2, "assistant", "a", "", ts),
+        ("c1", 3, "tool", "r", "browser", ts),
+        ("c1", 4, "tool", "r", "search", ts),
+        # c2: a single search call
+        ("c2", 0, "tool", "r", "search", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {(r["prev_tool"], r["tool"]): r["n_transitions"]
+           for r in tool_transitions(df).collect()}
+    assert out == {
+        ("<start>", "search"): 2,   # c1 turn1, c2 turn0
+        ("search", "browser"): 1,
+        ("browser", "search"): 1,
+    }
+
+
+def test_conversation_dedup_groups_and_canonicals(spark):
+    from datetime import datetime
+    from ramp_shapes_spark.ops.transcripts import conversation_dedup
+    ts = datetime(2024, 1, 1)
+    rows = [
+        # c1 and c3 are the same transcript; c2 differs only in role
+        ("c1", 0, "user", "hi", "", ts),
+        ("c1", 1, "assistant", "yo", "", ts),
+        ("c3", 0, "user", "hi", "", ts),
+        ("c3", 1, "assistant", "yo", "", ts),
+        ("c2", 0, "assistant", "hi", "", ts),
+        ("c2", 1, "assistant", "yo", "", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {r["conv_id"]: r.asDict() for r in
+           conversation_dedup(df).collect()}
+    assert out["c1"]["conv_sha"] == out["c3"]["conv_sha"]
+    assert out["c1"]["conv_sha"] != out["c2"]["conv_sha"]
+    assert out["c1"]["n_dup_convs"] == 2
+    assert out["c1"]["is_canonical"] is True
+    assert out["c3"]["is_canonical"] is False
+    assert out["c3"]["canonical_conv_id"] == "c1"
+    assert out["c2"]["n_dup_convs"] == 1 and out["c2"]["is_canonical"]
+
+
+def test_conversation_dedup_turn_order_matters(spark):
+    from datetime import datetime
+    from ramp_shapes_spark.ops.transcripts import conversation_dedup
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("a", 0, "user", "x", "", ts), ("a", 1, "user", "y", "", ts),
+        # same turns, swapped order -> different transcript
+        ("b", 0, "user", "y", "", ts), ("b", 1, "user", "x", "", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {r["conv_id"]: r["conv_sha"]
+           for r in conversation_dedup(df).collect()}
+    assert out["a"] != out["b"]
