@@ -308,6 +308,45 @@ def q_conv_dedup(spark, sf_dir):
     return conversation_dedup(t.unionByName(dup))
 
 
+def q_snapshot_delta(spark, sf_dir):
+    """Multiset delta between two overlapping snapshots of an
+    events-as-triples projection (old = event_id % 10 <> 0, new =
+    event_id % 7 <> 0): adds, deletes, and multiplicity changes in one
+    full-outer join of two pre-aggregated sides."""
+    from ramp_shapes_spark.ops.delta import snapshot_delta
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id", "event_type")
+    old = ev.filter(F.col("event_id") % 10 != 0) \
+        .select("user_id", "event_type")
+    new = ev.filter(F.col("event_id") % 7 != 0) \
+        .select("user_id", "event_type")
+    return snapshot_delta(old, new)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Capped inverted index over documents (tokens with df >= 10;
+    postings capped at 5 BEFORE assembly by a per-token window, so a
+    stopword can never drag its full posting list into the string)."""
+    from ramp_shapes_spark.ops.textstats import inverted_index
+    return inverted_index(_docs(spark, sf_dir), max_postings=5) \
+        .filter(F.col("df") >= 10)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by integer-scaled
+    tf-idf (tf * (N*1e6 div df)) — exact across engines, no ln."""
+    from ramp_shapes_spark.ops.textstats import tfidf_top_terms
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact discrete p50/p95/p99 of event value per event type
+    (integer-arithmetic rank rule, engine-agnostic)."""
+    from ramp_shapes_spark.ops.stats import group_quantiles
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return group_quantiles(ev, "event_type", "value")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: exact-integer k-means clusters,
     within-cluster cosine pairs at >= 0.95, CC, numeric-min canonical
@@ -487,6 +526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_turn_stats": q_conv_stats,
         "tool_transitions": q_tool_transitions,
         "conv_dedup": q_conv_dedup,
+        "snapshot_delta": q_snapshot_delta,
+        "inverted_index": q_inverted_index,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "value_quantiles": q_value_quantiles,
         "sample_split_counts": q_sample_split_counts,
         "sample_stratified_counts": q_sample_stratified_counts,
         "flatten_list_counts": R.q_flatten_list_counts,
@@ -1186,6 +1229,99 @@ def oracle_sql() -> dict[str, str]:
                    g.canonical_conv_id,
                    fp.conv_id = g.canonical_conv_id AS is_canonical
             FROM fp JOIN g USING (conv_sha)
+        """,
+        "inverted_index": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ), t AS (
+                SELECT doc_id AS doc, unnest(w) AS token FROM toks
+            ), tf AS (
+                SELECT token, doc, CAST(count(*) AS BIGINT) AS tf
+                FROM t GROUP BY token, doc
+            ), stats AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df,
+                       CAST(sum(tf) AS BIGINT) AS total_tf
+                FROM tf GROUP BY token
+            ), capped AS (
+                SELECT token, doc, tf,
+                       row_number() OVER (PARTITION BY token
+                                          ORDER BY tf DESC, doc) AS rn
+                FROM tf QUALIFY rn <= 5
+            ), p AS (
+                SELECT token,
+                       string_agg(doc || '|' || tf, ',' ORDER BY rn)
+                         AS postings
+                FROM capped GROUP BY token
+            )
+            SELECT s.token, s.df, s.total_tf, p.postings
+            FROM stats s JOIN p USING (token)
+            WHERE s.df >= 10
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS w FROM documents
+            ), t AS (
+                SELECT doc_id AS doc, unnest(w) AS token FROM toks
+            ), tf AS (
+                SELECT token, doc, CAST(count(*) AS BIGINT) AS tf
+                FROM t GROUP BY token, doc
+            ), dfq AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY token
+            ), nn AS (
+                SELECT count(*) * 1000000 AS n_scaled FROM documents
+            ), scored AS (
+                SELECT doc, token, tf, df,
+                       CAST(tf * (n_scaled // df) AS BIGINT) AS score
+                FROM tf JOIN dfq USING (token) CROSS JOIN nn
+            )
+            SELECT doc AS doc_id, token, tf, df, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc
+                       ORDER BY score DESC, token) AS BIGINT)
+                     AS term_rank
+            FROM scored
+            QUALIFY term_rank <= 3
+        """,
+        "value_quantiles": """
+            WITH ranked AS (
+                SELECT event_type AS grp, value AS val,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn
+                FROM events WHERE value IS NOT NULL
+            ), c AS (
+                SELECT grp, CAST(max(rn) AS BIGINT) AS n
+                FROM ranked GROUP BY grp
+            )
+            SELECT r.grp AS event_type,
+                   CAST(max(c.n) AS BIGINT) AS n,
+                   min(CASE WHEN r.rn = greatest(1, (50*c.n+99)//100)
+                            THEN r.val END) AS q50,
+                   min(CASE WHEN r.rn = greatest(1, (95*c.n+99)//100)
+                            THEN r.val END) AS q95,
+                   min(CASE WHEN r.rn = greatest(1, (99*c.n+99)//100)
+                            THEN r.val END) AS q99
+            FROM ranked r JOIN c USING (grp)
+            GROUP BY r.grp
+        """,
+        "snapshot_delta": """
+            WITH oc AS (
+              SELECT user_id, event_type, count(*) AS no
+              FROM events WHERE event_id % 10 <> 0
+              GROUP BY user_id, event_type
+            ), nc AS (
+              SELECT user_id, event_type, count(*) AS nn
+              FROM events WHERE event_id % 7 <> 0
+              GROUP BY user_id, event_type
+            ), j AS (
+              SELECT user_id, event_type,
+                     COALESCE(nn, 0) - COALESCE(no, 0) AS d
+              FROM oc FULL OUTER JOIN nc USING (user_id, event_type)
+            )
+            SELECT user_id, event_type,
+                   CASE WHEN d > 0 THEN 'add' ELSE 'del' END AS op,
+                   CAST(abs(d) AS BIGINT) AS n
+            FROM j WHERE d <> 0
         """,
         # triangles counted from the canonical (u < v) undirected edge
         # set: one canonical triple (a < b < c) per triangle, then each

@@ -194,3 +194,79 @@ def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text",
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return top.withColumn(
         "vocab_rank", F.row_number().over(w).cast("long"))
+
+
+def inverted_index(docs: DataFrame, max_postings: int = 20,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Capped inverted index: per token, document frequency, total
+    occurrences, and the top ``max_postings`` postings rendered as a
+    deterministic ``doc|tf`` string (tf desc, doc asc).
+
+    Scale shape: explode → (token, doc) partial-combined tf count →
+    a per-token row_number window CAPS the postings BEFORE any
+    collect, so a stopword appearing in every document of a 100 TB
+    corpus contributes ``max_postings`` rows to the assembly stage,
+    never its full posting list; df/total_tf come from the uncapped
+    count aggregate (map-side combinable), joined 1:1 on token."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+        F.col(id_col).alias("doc"))
+    tf = ex.groupBy("token", "doc").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"))
+    w = Window.partitionBy("token").orderBy(
+        F.desc("tf"), F.asc("doc"))
+    capped = tf.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") <= max_postings)
+    postings = capped.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("__rn").alias("r"),
+                    F.concat_ws("|", F.col("doc").cast("string"),
+                                F.col("tf").cast("string")).alias("s")))),
+                lambda e: e["s"]),
+            ",").alias("postings"))
+    return stats.join(postings, "token").select(
+        "token", "df", "total_tf", "postings")
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` characteristic terms per document by an exact
+    integer-scaled tf-idf: ``score = tf * (N*1_000_000 div df)`` with
+    integer division, so two engines agree bit-for-bit (no ``ln``,
+    whose last-ulp behavior is libm-specific).
+
+    Scale shape: the same explode → (token, doc) tf aggregate as the
+    inverted index; df joins back on token (near-uniform key), N is a
+    one-row broadcast (no driver collect), and the per-doc top-k is a
+    row_number window over (doc) — bounded output, deterministic
+    tie-break (score desc, token asc)."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+        F.col(id_col).alias("doc"))
+    tf = ex.groupBy("token", "doc").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg((F.count(F.lit(1)) * 1_000_000)
+                 .cast("long").alias("__n_scaled"))
+    scored = tf.join(df_, "token").crossJoin(F.broadcast(n)).select(
+        "doc", "token", "tf", "df",
+        (F.col("tf") * F.expr("__n_scaled div df")).cast("long")
+        .alias("score"))
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("token"))
+    return scored.withColumn(
+        "term_rank", F.row_number().over(w).cast("long")) \
+        .filter(F.col("term_rank") <= k) \
+        .select(F.col("doc").alias(id_col), "token", "tf", "df",
+                "score", "term_rank")

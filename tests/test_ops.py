@@ -839,3 +839,74 @@ def test_conversation_dedup_turn_order_matters(spark):
     out = {r["conv_id"]: r["conv_sha"]
            for r in conversation_dedup(df).collect()}
     assert out["a"] != out["b"]
+
+
+def test_snapshot_delta_multiset_semantics(spark):
+    from ramp_shapes_spark.ops.delta import snapshot_delta
+    old = spark.createDataFrame(
+        [("s1", "p"), ("s1", "p"), ("s2", "p"), ("s3", "q")],
+        "s string, p string")
+    new = spark.createDataFrame(
+        # s1 loses one copy, s2 unchanged, s3 removed, s4 added twice
+        [("s1", "p"), ("s2", "p"), ("s4", "q"), ("s4", "q")],
+        "s string, p string")
+    out = {(r["s"], r["p"]): (r["op"], r["n"])
+           for r in snapshot_delta(old, new).collect()}
+    assert out == {
+        ("s1", "p"): ("del", 1),
+        ("s3", "q"): ("del", 1),
+        ("s4", "q"): ("add", 2),
+    }
+
+
+def test_snapshot_delta_identical_snapshots_empty(spark):
+    from ramp_shapes_spark.ops.delta import snapshot_delta
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)],
+                               "k string, v int")
+    assert snapshot_delta(df, df).count() == 0
+
+
+def test_inverted_index_caps_postings(spark):
+    from ramp_shapes_spark.ops.textstats import inverted_index
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x y"), (3, "x"), (4, "z")],
+        "doc_id long, text string")
+    out = {r["token"]: r.asDict()
+           for r in inverted_index(docs, max_postings=2).collect()}
+    x = out["x"]
+    # df/total_tf are uncapped; postings list is capped at 2,
+    # ordered tf desc then doc asc
+    assert (x["df"], x["total_tf"]) == (3, 4)
+    assert x["postings"] == "1|2,2|1"
+    assert out["y"]["postings"] == "1|1,2|1"
+    assert out["z"]["postings"] == "4|1"
+
+
+def test_tfidf_top_terms_integer_scores(spark):
+    from ramp_shapes_spark.ops.textstats import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common"), (3, "common other")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["token"]): r.asDict()
+           for r in tfidf_top_terms(docs, k=2).collect()}
+    # N=3 docs, df(common)=3, df(rare)=1: idf_scaled = 3e6//df
+    assert out[(1, "rare")]["score"] == 1 * (3_000_000 // 1)
+    assert out[(1, "common")]["score"] == 2 * (3_000_000 // 3)
+    # rare outranks common in doc 1 despite tf 1 vs 2
+    assert out[(1, "rare")]["term_rank"] == 1
+    assert out[(1, "common")]["term_rank"] == 2
+    assert out[(3, "other")]["term_rank"] == 1
+
+
+def test_group_quantiles_exact_ranks(spark):
+    from ramp_shapes_spark.ops.stats import group_quantiles
+    rows = [("a", float(v)) for v in range(1, 101)] + \
+           [("b", 5.0), ("b", 1.0), ("b", 3.0), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["k"]: r.asDict()
+           for r in group_quantiles(df, "k", "v").collect()}
+    a = out["a"]
+    # ranks: ceil(50*100/100)=50, ceil(95)=95, ceil(99)=99
+    assert (a["n"], a["q50"], a["q95"], a["q99"]) == (100, 50.0, 95.0, 99.0)
+    b = out["b"]   # sorted [1,3,5]; ranks ceil(1.5)=2, ceil(2.85)=3
+    assert (b["n"], b["q50"], b["q95"], b["q99"]) == (3, 3.0, 5.0, 5.0)
