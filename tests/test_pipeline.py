@@ -192,3 +192,15 @@ def test_connected_components_distributed(spark):
         comps.setdefault(c, []).append(n)
     for c, members in comps.items():
         assert c == min(members + [c])
+
+
+def test_iceberg_sink_requires_catalog(spark):
+    from ramp_shapes_spark.pipeline.materialize import (
+        materialize_triples_iceberg)
+    import pytest as _pytest
+    df = spark.createDataFrame([], "s struct<kind:string,value:string,"
+                               "dt:string,lang:string>, p string, "
+                               "o struct<kind:string,value:string,"
+                               "dt:string,lang:string>")
+    with _pytest.raises(RuntimeError, match="Iceberg catalog"):
+        materialize_triples_iceberg(df, "cat.db.triples")
