@@ -271,7 +271,9 @@ class PyFrame:
                 ref_contexts.append(ctx)
 
         for cand in candidates:
-            if cand.kind == "lit":
+            # reference guard is isResource (frame.ts:222) — literals
+            # AND var/dgraph/quad terms are all non-resource here
+            if not cand.is_resource:
                 if required:
                     raise RampError(205, "non-resource term",
                                     self._focused(stack, cand))
@@ -508,7 +510,7 @@ class PyFrame:
         idx = 0
         seen = set()
         while True:
-            if rest.kind == "lit":
+            if not rest.is_resource:  # frame.ts:541 isResource guard
                 return fail(205, "list term not a resource")
             if rest == nil:
                 return result if result is not None else []

@@ -37,10 +37,14 @@ def n3_escape(col: Column) -> Column:
 
 
 def n3_col(term: Column) -> Column:
-    """Reference display form of a TERM struct (rdf-model.ts:202-218)."""
+    """Reference display form of a TERM struct (rdf-model.ts:202-236)."""
     return (
         F.when(term["kind"] == "iri", F.concat(F.lit("<"), term["value"], F.lit(">")))
         .when(term["kind"] == "bnode", F.concat(F.lit("_:"), term["value"]))
+        .when(term["kind"] == "var", F.concat(F.lit("?"), term["value"]))
+        .when(term["kind"] == "dgraph", F.lit("(default graph)"))
+        # quad terms carry their reference toString form in ``value``
+        .when(term["kind"] == "quad", term["value"])
         .otherwise(
             F.concat(
                 F.lit('"'), n3_escape(term["value"]), F.lit('"'),
@@ -142,6 +146,9 @@ def s_n3(t: str) -> str:
     return (
         f"CASE WHEN ({t}).kind = 'iri' THEN concat('<', ({t}).value, '>') "
         f"WHEN ({t}).kind = 'bnode' THEN concat('_:', ({t}).value) "
+        f"WHEN ({t}).kind = 'var' THEN concat('?', ({t}).value) "
+        f"WHEN ({t}).kind = 'dgraph' THEN '(default graph)' "
+        f"WHEN ({t}).kind = 'quad' THEN ({t}).value "
         f"ELSE concat('\"', {esc}, '\"', "
         f"CASE WHEN ({t}).lang IS NOT NULL THEN concat('@', ({t}).lang) "
         f"ELSE concat('^^<', ({t}).dt, '>') END) END"

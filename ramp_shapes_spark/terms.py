@@ -2,7 +2,22 @@
 
 The scalar unit of the engine is the RDF *term*, represented everywhere
 (driver catalogs, DataFrame columns, test fixtures) as a 4-field struct
-``(kind, value, dt, lang)`` with ``kind in {'iri', 'bnode', 'lit'}``.
+``(kind, value, dt, lang)`` with ``kind in {'iri', 'bnode', 'lit',
+'var', 'dgraph', 'quad'}``.
+
+The last three mirror the reference's full RDF/JS term union
+(rdf-model.ts:5: ``NamedNode | BlankNode | Literal | Variable |
+DefaultGraph | Quad``).  A *quad* term (RDF-star quoted triple) keeps
+the flat struct by storing the reference ``toString`` serialization of
+its components in ``value`` — the serialization is injective (IRIs are
+angle-bracketed, literals escaped), so the struct's structural equality
+coincides with the reference's recursive ``equalQuads``
+(rdf-model.ts:286-296), and every engine stage (dedup keys, joins,
+group-bys) treats quads correctly with zero changes.  Shape matching
+needs no special cases either: ``var``/``dgraph``/``quad`` are neither
+resources nor literals, so resource/literal shapes reject them exactly
+as the reference's ``isResourceTerm`` (frame.ts:718) and
+``termType === 'Literal'`` checks do.
 
 Semantics follow the reference term model (ramp-shapes
 ``src/rdf/rdf-model.ts:5-130``): equality is structural over
@@ -61,13 +76,14 @@ TERM_TYPE = StructType(
 class Term:
     """Driver-side term value; mirrors one row of :data:`TERM_TYPE`."""
 
-    kind: str  # 'iri' | 'bnode' | 'lit'
+    kind: str  # 'iri' | 'bnode' | 'lit' | 'var' | 'dgraph' | 'quad'
     value: str
     dt: Optional[str] = None
     lang: Optional[str] = None
 
     def __post_init__(self) -> None:
-        if self.kind not in ("iri", "bnode", "lit"):
+        if self.kind not in ("iri", "bnode", "lit", "var", "dgraph",
+                             "quad"):
             raise ValueError(f"bad term kind {self.kind!r}")
 
     @property
@@ -90,11 +106,18 @@ class Term:
         )
 
     def n3(self) -> str:
-        """Reference-compatible display form (rdf-model.ts:202-218)."""
+        """Reference-compatible display form (rdf-model.ts:202-236)."""
         if self.kind == "iri":
             return f"<{self.value}>"
         if self.kind == "bnode":
             return f"_:{self.value}"
+        if self.kind == "var":
+            return f"?{self.value}"
+        if self.kind == "dgraph":
+            return "(default graph)"
+        if self.kind == "quad":
+            # value IS the reference toString form ``<< s p o [g ]>>``
+            return self.value
         lit = '"' + _escape_rdf(self.value) + '"'
         if self.lang:
             return lit + "@" + self.lang
@@ -123,6 +146,35 @@ def lit(value: str, dt: Optional[str] = None, lang: Optional[str] = None) -> Ter
     if lang:
         return Term("lit", value, RDF_LANG_STRING, lang)
     return Term("lit", value, dt or XSD_STRING, None)
+
+
+def variable(name: str) -> Term:
+    """SPARQL variable term (rdf-model.ts:77-91)."""
+    return Term("var", name)
+
+
+DEFAULT_GRAPH = Term("dgraph", "")
+"""Singleton default-graph term (rdf-model.ts:93-106)."""
+
+
+def quad(s: Term, p: Term, o: Term, g: Term = DEFAULT_GRAPH) -> Term:
+    """RDF-star quoted-triple term (rdf-model.ts:108-130).
+
+    Components are serialized into ``value`` with the reference's
+    ``toString`` layout (``<< s p o [g ]>>``, graph omitted when it is
+    the default graph, rdf-model.ts:223-234); equality over the struct
+    is therefore the reference's structural ``equalQuads``.  Nested
+    quoted triples recurse naturally (the child's ``n3()`` is its own
+    ``<< ... >>`` string).
+    """
+    if p.kind not in ("iri", "var"):
+        raise ValueError(f"quad predicate must be iri/var, got {p.kind!r}")
+    if s.kind not in ("iri", "bnode", "var", "quad"):
+        raise ValueError(f"bad quad subject kind {s.kind!r}")
+    inner = f"{s.n3()} {p.n3()} {o.n3()} "
+    if g.kind != "dgraph":
+        inner += f"{g.n3()} "
+    return Term("quad", f"<< {inner}>>")
 
 
 def from_row(row) -> Term:

@@ -35,6 +35,7 @@ from .terms import (
     bnode,
     iri,
     lit,
+    quad,
 )
 
 Triple = Tuple[Term, str, Term]  # (subject, predicate IRI, object)
@@ -42,6 +43,7 @@ Triple = Tuple[Term, str, Term]  # (subject, predicate IRI, object)
 _TOKEN_RE = re.compile(
     r"""
       (?P<WS>\s+|\#[^\n]*)
+    | (?P<QUOTE><<|>>)
     | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
     | (?P<STRING>"(?:[^"\\]|\\.)*")
     | (?P<LANGTAG>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
@@ -194,6 +196,16 @@ class TurtleParser:
             return self._expand_pname(val)
         if kind == "BLANK":
             return bnode(val[2:])
+        if val == "<<":
+            # Turtle-star quoted triple (RDF-star CG report §3.3);
+            # allowed in both subject and object position, becomes an
+            # opaque quad term (terms.py) the engine carries through
+            # dedup/joins by structural equality.
+            qs = self._parse_term(as_subject=True)
+            qp = iri(self._parse_predicate())
+            qo = self._parse_term()
+            self._expect(">>")
+            return quad(qs, qp, qo)
         if val == "[":
             node = self._fresh_bnode()
             if self._peek() and self._peek()[1] != "]":

@@ -250,6 +250,14 @@ class TurtleSerializer:
             return self._iri(t.value)
         if t.kind == "bnode":
             return f"_:{t.value}"
+        if t.kind == "quad":
+            # quad terms store the reference toString serialization
+            # ``<< <s> <p> o >>`` — already valid Turtle-star (IRIs in
+            # full <...> form, literals escaped), so emit verbatim
+            return t.value
+        if t.kind in ("var", "dgraph"):
+            raise ValueError(
+                f"term kind {t.kind!r} has no Turtle serialization")
         body = f'"{_escape(t.value)}"'
         if t.lang:
             return f"{body}@{t.lang}"
