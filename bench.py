@@ -236,8 +236,41 @@ def main() -> None:
     merged: dict = {"queries": {}}
     group_wall: dict = {}
     group_load: dict = {}
+    group_drain: dict = {}
     failed: list = []
+    # inter-family load drain: a family's fresh JVM starts while the
+    # PREVIOUS family's teardown (48g heap reclaim, /dev/shm shuffle
+    # cleanup, daemon exit) is still burning CPU — measured load1 11-21
+    # at family start in otherwise-quiet runs, inflating that family's
+    # rows 1.5-3x for identical code (run6 vs run3, run8 graph group).
+    # Gate on the INSTANTANEOUS busy fraction from /proc/stat (load1 is
+    # a 1-minute EMA that ghosts for ~2 min after the work is gone);
+    # wait, bounded, until the machine is actually idle.  The wait is
+    # recorded per family and excluded from every timed number.
+    def _busy_frac(interval: float = 1.0) -> float:
+        def snap():
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+            return idle, sum(vals)
+        i0, t0 = snap()
+        time.sleep(interval)
+        i1, t1 = snap()
+        dt = max(t1 - t0, 1)
+        return 1.0 - (i1 - i0) / dt
+
+    drain_limit = float(os.environ.get("SPARK_GRAFT_BENCH_DRAIN_SEC",
+                                       "60"))
+    drain_busy = float(os.environ.get("SPARK_GRAFT_BENCH_DRAIN_BUSY",
+                                      "0.20"))
     for g in groups:
+        waited = 0.0
+        while waited < drain_limit:
+            waited += 1.0  # _busy_frac sleeps 1 s per probe
+            if _busy_frac() <= drain_busy:
+                break
+        group_drain[g.split(":")[0]] = round(waited, 1)
         group_load[g.split(":")[0]] = round(os.getloadavg()[0], 2)
         t0 = time.time()
         proc = subprocess.run(
@@ -281,6 +314,7 @@ def main() -> None:
         "fresh_jvm_per_family": True,
         "group_wall_sec": group_wall,
         "group_load1_at_start": group_load,
+        "group_drain_wait_sec": group_drain,
         "failed_groups": failed,
     }))
 
