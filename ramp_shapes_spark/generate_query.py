@@ -151,6 +151,12 @@ def _term_to_sparql(t: Term) -> SparqlTerm:
         return Iri(t.value)
     if t.kind == "bnode":
         return Blank(t.value)
+    if t.kind == "var":
+        # reference Variable terms map onto SPARQL variables directly
+        return Var(t.value)
+    if t.kind in ("quad", "dgraph"):
+        raise ValueError(
+            f"cannot emit {t.kind!r} term as a SPARQL constant")
     return Lit(t.value, t.dt, t.lang)
 
 
