@@ -143,11 +143,33 @@ spark.stop()
 """
 
 
+def _pin_prefix(cpus: int) -> list:
+    """CPU-affinity pin for a leg's whole process tree.
+
+    ``local[N]`` caps Spark TASK slots, not JVM CPU: GC, JIT, shuffle
+    and Python-worker threads happily borrow the host's idle cores, so
+    on a quiet 32-vCPU host a "2-core" leg can run 2-3x faster than two
+    cores' worth of work (measured: .bench/scaling_r5g_result.json's
+    2-core leg at 10,375 turns/s vs the pinned-window 4,396) — which
+    compresses the N-vs-4N ratio through no fault of the engine.
+    ``taskset`` confines every thread of the leg (JVM + Python workers
+    inherit the mask) to exactly N cores, making the leg a faithful
+    N-core executor simulation.  Disable with
+    SPARK_GRAFT_SCALING_PIN=0 (e.g. if taskset is unavailable)."""
+    if os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") == "0":
+        return []
+    import shutil
+    if shutil.which("taskset") is None:
+        return []
+    return ["taskset", "-c", ",".join(str(c) for c in range(int(cpus)))]
+
+
 def run_control(cpus: int) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with tempfile.NamedTemporaryFile("r", suffix=".json") as out:
         subprocess.run(
-            [sys.executable, "-c", CONTROL, str(cpus), out.name],
+            _pin_prefix(cpus) + [sys.executable, "-c", CONTROL,
+                                 str(cpus), out.name],
             check=True, cwd=repo,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
@@ -159,7 +181,8 @@ def run_one(cpus: int, n_conv: int) -> dict:
     with tempfile.NamedTemporaryFile("r", suffix=".json") as out:
         script = WORKER % {"repo": repo, "parts": DATA_PARTITIONS}
         subprocess.run(
-            [sys.executable, "-c", script, str(cpus), str(n_conv), out.name],
+            _pin_prefix(cpus) + [sys.executable, "-c", script,
+                                 str(cpus), str(n_conv), out.name],
             check=True, cwd=repo,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
@@ -196,6 +219,7 @@ def main() -> None:
     report = {
         "n_conversations": n_conv,
         "data_partitions": DATA_PARTITIONS,
+        "cpu_pinned": bool(_pin_prefix(2)),
         "low": lo,
         "high": hi,
         "runs": [{"low": a, "high": b} for a, b in runs],
