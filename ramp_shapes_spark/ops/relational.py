@@ -802,3 +802,56 @@ def oracle_flatten_list_counts() -> str:
         UNION ALL
         SELECT '{RDF_REST}', CAST(c AS BIGINT) FROM l
     """
+
+
+def q_shape_subgraph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-driven subgraph extraction (subgraph.py — the Spark-native
+    ``generateQuery``, generate-query.ts:25-114): seed at the Supplier
+    candidates and walk supplier{name, nation{name}} over the
+    supplier graph; the extracted subgraph must contain exactly the
+    type/name/locatedIn triples of suppliers and supplier-referenced
+    nations — inRegion edges and region/unreferenced-nation names are
+    pruned.  Reported as per-predicate triple counts."""
+    from ramp_shapes_spark.subgraph import roots_of_type, shape_subgraph
+
+    b = ShapeBuilder()
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[prop("name", EX + "name",
+                         b.literal(datatype=XSD_STRING))],
+    )
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("nation", EX + "locatedIn", nation),
+        ],
+    )
+    # materialize the graph once: the walk's frontier checkpoints and
+    # the final semi-join are separate actions, and in production the
+    # triple table is already-stored parquet, not a live union/dedup
+    triples = supplier_graph(spark, sf_dir).localCheckpoint(eager=True)
+    roots = roots_of_type(triples, EX + "Supplier", RDF_TYPE)
+    sub = shape_subgraph(triples, b.catalog, supplier, roots=roots)
+    return sub.groupBy("p").agg(F.count(F.lit(1)).alias("triples"))
+
+
+def oracle_shape_subgraph_counts() -> str:
+    # suppliers contribute 1 type + 1 name + 1 locatedIn each; every
+    # nation REFERENCED BY a supplier contributes 1 type + 1 name
+    # (regions and their names never enter the walk)
+    return f"""
+        WITH s AS (SELECT count(*) AS c FROM supplier),
+             n AS (SELECT count(DISTINCT s_nationkey) AS c FROM supplier)
+        SELECT '{RDF_TYPE}' AS p,
+               CAST(s.c + n.c AS BIGINT) AS triples FROM s, n
+        UNION ALL
+        SELECT '{EX}name', CAST(s.c + n.c AS BIGINT) FROM s, n
+        UNION ALL
+        SELECT '{EX}locatedIn', CAST(c AS BIGINT) FROM s
+    """
