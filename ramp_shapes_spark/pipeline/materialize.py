@@ -125,26 +125,67 @@ def materialize_triples(
     return metrics
 
 
-def read_triples(spark: SparkSession, root: str) -> DataFrame:
-    """Read a materialized triple table back into TERM-struct layout."""
+def read_triples(spark: SparkSession, root: str,
+                 keep_bucket: bool = False) -> DataFrame:
+    """Read a materialized triple table back into TERM-struct layout.
+
+    ``tid`` is a CONTENT hash of the row (xxhash64 over the seven flat
+    columns), not ``monotonically_increasing_id``: the id must be
+    stable across recomputation and task retries because downstream
+    consumers (the subgraph walk's semi-join, path ``tord`` ordering)
+    reference it from several independent actions — the same
+    recompute-stability rule the canonicalizer's dictionary ids follow.
+    Sink rows are distinct per (s, p, o), so the hash is unique per
+    row up to 64-bit collision.  ``ord`` values derived from these
+    tids are deterministic but arbitrary (hash order, not insertion
+    order).
+
+    ``keep_bucket=True`` keeps the ``pbucket`` partition column so
+    predicate-sliced consumers can pin it and prune partitions."""
     flat = spark.read.parquet(os.path.join(root, "data"))
-    term = lambda kind, value, dt, lang: F.struct(  # noqa: E731
-        F.col(kind).alias("kind"), F.col(value).alias("value"),
-        dt.alias("dt"), lang.alias("lang"),
-    )
-    return flat.select(
-        F.monotonically_increasing_id().alias("tid"),
+    cols = [
+        F.xxhash64("s_kind", "s_value", "p", "o_kind", "o_value",
+                   "o_dt", "o_lang").alias("tid"),
         F.struct(
             F.col("s_kind").alias("kind"), F.col("s_value").alias("value"),
             F.lit(None).cast("string").alias("dt"),
             F.lit(None).cast("string").alias("lang"),
         ).alias("s"),
-        "p",
+        F.col("p"),
         F.struct(
             F.col("o_kind").alias("kind"), F.col("o_value").alias("value"),
             F.col("o_dt").alias("dt"), F.col("o_lang").alias("lang"),
         ).alias("o"),
-    )
+    ]
+    if keep_bucket:
+        cols.append(F.col("pbucket"))
+    return flat.select(*cols)
+
+
+def frame_from_store(spark: SparkSession, root: str, catalog, shape,
+                     roots: Optional[DataFrame] = None, **frame_kwargs):
+    """Frame a shape directly against a materialized triple store,
+    pruning the scan first with the shape-driven subgraph walk
+    (subgraph.py): every predicate step pins its ``pbucket`` partition
+    (constant-folded hash of the predicate literal), so only the
+    shape-relevant predicate buckets are read at all — the
+    prune-before-frame front door for a 100 TB store.
+
+    ``roots``: optional seed terms (1-column ``node`` DataFrame) for
+    demand-driven extraction; ``frame_kwargs`` pass through to
+    ``FrameEngine`` (e.g. ``diagnostics=False``)."""
+    from ramp_shapes_spark.frame import FrameEngine
+    from ramp_shapes_spark.subgraph import shape_subgraph
+
+    with open(os.path.join(root, "metrics.json")) as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+    triples = read_triples(spark, root, keep_bucket=True)
+    sub = shape_subgraph(
+        triples, catalog, shape, roots=roots,
+        predicate_bucket=("pbucket", n_buckets),
+    ).drop("pbucket").localCheckpoint(eager=True)
+    engine = FrameEngine(spark, catalog, sub, **frame_kwargs)
+    return engine.frame(shape)
 
 
 def materialize_triples_iceberg(

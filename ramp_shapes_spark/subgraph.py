@@ -112,9 +112,11 @@ def _union_nodes(a: Optional[DataFrame], b: Optional[DataFrame]):
 class _Walk:
     """One extraction run: accumulates matched tids and walks shapes."""
 
-    def __init__(self, triples: DataFrame, catalog: ShapeCatalog) -> None:
+    def __init__(self, triples: DataFrame, catalog: ShapeCatalog,
+                 predicate_bucket: Optional[Tuple[str, int]] = None) -> None:
         self.triples = triples
         self.catalog = catalog
+        self.bucket = predicate_bucket
         self.tids: List[DataFrame] = []
         # shape key -> processed frontier (UNIVERSE once walked with it)
         self.processed: Dict[str, Optional[DataFrame]] = {}
@@ -139,6 +141,15 @@ class _Walk:
         """One predicate application; returns (tids, endpoints)."""
         src, dst = ("o", "s") if reverse else ("s", "o")
         t = self.triples.filter(F.col("p") == F.lit(predicate))
+        if self.bucket is not None:
+            # pin the predicate's partition bucket: the hash of a
+            # literal constant-folds, so Catalyst prunes every other
+            # pbucket partition from the scan (materialize.py layout)
+            col, n = self.bucket
+            t = t.filter(
+                F.col(col)
+                == F.pmod(F.xxhash64(F.lit(predicate)),
+                          F.lit(n)).cast("int"))
         if frontier is UNIVERSE:
             return (t.select("tid"),
                     _dedup_nodes(t.select(F.col(dst).alias("node"))))
@@ -328,24 +339,37 @@ _UNSEEN = _Unseen()
 
 def shape_subgraph(triples: DataFrame, catalog: ShapeCatalog,
                    root: ShapeID,
-                   roots: Optional[DataFrame] = None) -> DataFrame:
+                   roots: Optional[DataFrame] = None,
+                   predicate_bucket: Optional[Tuple[str, int]] = None,
+                   ) -> DataFrame:
     """Triples subset sufficient to frame ``root`` — see module doc.
 
     ``roots``: optional 1-column ``node`` (term struct) DataFrame of
     seed terms; ``None`` walks from the unconstrained universe exactly
     like the reference's CONSTRUCT query subject variable.
+
+    ``predicate_bucket``: optional ``(column, n_buckets)`` of a
+    predicate-hash partition column (the materialize.py sink layout);
+    every predicate step then pins its bucket so the scan prunes all
+    other partitions.
     """
-    return _Walk(triples, catalog).run(root, roots)
+    return _Walk(triples, catalog, predicate_bucket).run(root, roots)
 
 
 def roots_of_type(triples: DataFrame, type_iri: str,
-                  rdf_type: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type") -> DataFrame:
+                  rdf_type: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                  predicate_bucket: Optional[Tuple[str, int]] = None,
+                  ) -> DataFrame:
     """Convenience seed set: all subjects with ``rdf:type <type_iri>``
     — the usual frame candidate set for a type-gated record shape."""
-    return _dedup_nodes(
-        triples.filter(
-            (F.col("p") == F.lit(rdf_type))
-            & (F.col("o")["kind"] == F.lit("iri"))
-            & (F.col("o")["value"] == F.lit(type_iri))
-        ).select(F.col("s").alias("node"))
+    t = triples.filter(
+        (F.col("p") == F.lit(rdf_type))
+        & (F.col("o")["kind"] == F.lit("iri"))
+        & (F.col("o")["value"] == F.lit(type_iri))
     )
+    if predicate_bucket is not None:
+        col, n = predicate_bucket
+        t = t.filter(
+            F.col(col)
+            == F.pmod(F.xxhash64(F.lit(rdf_type)), F.lit(n)).cast("int"))
+    return _dedup_nodes(t.select(F.col("s").alias("node")))
