@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_relational_counts": R.q_flatten_relational_counts,
         "turtle_roundtrip_counts": R.q_turtle_roundtrip_counts,
         "shape_subgraph_counts": R.q_shape_subgraph_counts,
+        "store_frame_names": R.q_store_frame_names,
         "neardup_clusters": q_neardup_clusters,
         "bpe_token_counts": q_bpe_token_counts,
         "pii_redaction": q_pii_redaction,
@@ -852,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "flatten_relational_counts": R.oracle_flatten_relational_counts(),
         "turtle_roundtrip_counts": R.oracle_turtle_roundtrip_counts(),
         "shape_subgraph_counts": R.oracle_shape_subgraph_counts(),
+        "store_frame_names": R.oracle_store_frame_names(),
         "flatten_list_counts": R.oracle_flatten_list_counts(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -855,3 +855,56 @@ def oracle_shape_subgraph_counts() -> str:
         UNION ALL
         SELECT '{EX}locatedIn', CAST(c AS BIGINT) FROM s
     """
+
+
+def q_store_frame_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end store path: materialize the supplier graph to the
+    predicate-bucketed parquet sink (per-partition manifests), then
+    frame the supplier shape straight off the store via
+    frame_from_store — the subgraph walk pins each predicate's pbucket
+    partition so the scan prunes (pipeline/materialize.py,
+    subgraph.py).  Projects (supplier name, nation name) pairs."""
+    import shutil
+
+    from ramp_shapes_spark.pipeline.materialize import (
+        frame_from_store, materialize_triples,
+    )
+
+    b = ShapeBuilder()
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[prop("name", EX + "name",
+                         b.literal(datatype=XSD_STRING))],
+    )
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("nation", EX + "locatedIn", nation),
+        ],
+    )
+    # per-run sink: the applicationId keys the path so concurrent runs
+    # cannot clobber each other between write and read-back
+    root = f"/tmp/ramp_store_frame_{spark.sparkContext.applicationId}"
+    shutil.rmtree(root, ignore_errors=True)
+    materialize_triples(supplier_graph(spark, sf_dir), root,
+                        n_buckets=16, input_fingerprint=sf_dir,
+                        spark=spark)
+    res = frame_from_store(spark, root, b.catalog, supplier,
+                           diagnostics=False, track_errors=False)
+    return res.matches.select(
+        F.get_json_object("value", "$.name").alias("sup_name"),
+        F.get_json_object("value", "$.nation.name").alias("nat_name"),
+    )
+
+
+def oracle_store_frame_names() -> str:
+    return """
+        SELECT s_name AS sup_name, n_name AS nat_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """
