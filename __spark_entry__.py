@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_roundtrip_counts": R.q_turtle_roundtrip_counts,
         "shape_subgraph_counts": R.q_shape_subgraph_counts,
         "store_frame_names": R.q_store_frame_names,
+        "ntriples_roundtrip_counts": R.q_ntriples_roundtrip_counts,
         "neardup_clusters": q_neardup_clusters,
         "bpe_token_counts": q_bpe_token_counts,
         "pii_redaction": q_pii_redaction,
@@ -854,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         "turtle_roundtrip_counts": R.oracle_turtle_roundtrip_counts(),
         "shape_subgraph_counts": R.oracle_shape_subgraph_counts(),
         "store_frame_names": R.oracle_store_frame_names(),
+        "ntriples_roundtrip_counts": R.oracle_ntriples_roundtrip_counts(),
         "flatten_list_counts": R.oracle_flatten_list_counts(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -908,3 +908,32 @@ def oracle_store_frame_names() -> str:
         SELECT s_name AS sup_name, n_name AS nat_name
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
     """
+
+
+def q_ntriples_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed N-Triples sink + source (ntriples.py — pure column
+    expressions both ways, strict parse): serialize the supplier graph
+    to .nt text, parse it back, and report per-predicate triple counts
+    — the line format's roundtrip is exact by construction."""
+    from ramp_shapes_spark.ntriples import read_ntriples, write_ntriples
+
+    sink = f"/tmp/ramp_nt_sink_{spark.sparkContext.applicationId}"
+    write_ntriples(supplier_graph(spark, sf_dir), sink)
+    back = read_ntriples(spark, sink, strict=True)
+    return back.groupBy("p").agg(F.count(F.lit(1)).alias("triples"))
+
+
+def oracle_ntriples_roundtrip_counts() -> str:
+    return f"""
+        WITH s AS (SELECT count(*) AS c FROM supplier),
+             n AS (SELECT count(*) AS c FROM nation),
+             r AS (SELECT count(*) AS c FROM region)
+        SELECT '{RDF_TYPE}' AS p,
+               CAST(s.c + n.c AS BIGINT) AS triples FROM s, n
+        UNION ALL
+        SELECT '{EX}name', CAST(s.c + n.c + r.c AS BIGINT) FROM s, n, r
+        UNION ALL
+        SELECT '{EX}locatedIn', CAST(c AS BIGINT) FROM s
+        UNION ALL
+        SELECT '{EX}inRegion', CAST(c AS BIGINT) FROM n
+    """
