@@ -85,15 +85,15 @@ def _term(kind, value, dt=None, lang=None) -> F.Column:
     )
 
 
-def read_ntriples(spark: SparkSession, path: str,
-                  strict: bool = True) -> DataFrame:
-    """Parse N-Triples file(s) into the engine's canonical
-    ``(tid, s, p, o)`` layout.  Line-parallel distributed parse; tids
-    are content hashes (stable across recomputation and retries);
-    duplicate statements deduplicate, matching the rdf-dataset insert
-    semantics (dataset.py)."""
-    lines = spark.read.text(path).select(F.col("value").alias("line"))
-    content = lines.filter(
+def parse_ntriples_lines(lines: DataFrame,
+                         line_col: str = "line") -> DataFrame:
+    """Core parser: a pure column transformation from raw text lines to
+    ``(line, s, p, o, invalid)`` — comment/blank lines dropped, every
+    other line either parsed or flagged.  Being expression-only it
+    composes with BOTH batch and Structured Streaming inputs
+    (``readStream.text`` → this → a dead-letter split on ``invalid``;
+    see streaming/ingest.py:stream_ntriples_ingest)."""
+    content = lines.select(F.col(line_col).alias("line")).filter(
         ~F.trim("line").startswith("#") & (F.trim("line") != ""))
 
     parsed = content.select(
@@ -144,16 +144,16 @@ def read_ntriples(spark: SparkSession, path: str,
         | F.col("o")["value"].isNull()
         | ((F.col("o")["kind"] == "lit") & F.col("o")["dt"].isNull())
     )
-    if strict:
-        bad = rows.filter(invalid).select("line").limit(5).collect()
-        if bad:
-            sample = "\n  ".join(r["line"] for r in bad)
-            raise ValueError(
-                f"read_ntriples: malformed N-Triples line(s) in {path} "
-                f"(first up to 5):\n  {sample}")
-    good = rows.filter(~invalid).select("s", "p", "o")
+    return rows.select("line", "s", "p", "o", invalid.alias("invalid"))
+
+
+def dataset_from_parsed(parsed: DataFrame) -> DataFrame:
+    """Valid parsed rows → canonical ``(tid, s, p, o)``: duplicate
+    statements deduplicate (rdf-dataset insert semantics, dataset.py)
+    and tids are content hashes, stable across recomputation/retries."""
     return (
-        good.dropDuplicates(["s", "p", "o"])
+        parsed.filter(~F.col("invalid")).select("s", "p", "o")
+        .dropDuplicates(["s", "p", "o"])
         .select(
             F.xxhash64(F.col("s")["kind"], F.col("s")["value"], F.col("p"),
                        F.col("o")["kind"], F.col("o")["value"],
@@ -161,6 +161,24 @@ def read_ntriples(spark: SparkSession, path: str,
             "s", "p", "o",
         )
     )
+
+
+def read_ntriples(spark: SparkSession, path: str,
+                  strict: bool = True) -> DataFrame:
+    """Parse N-Triples file(s) into the engine's canonical
+    ``(tid, s, p, o)`` layout.  Line-parallel distributed parse;
+    ``strict=True`` raises with sample lines if anything failed to
+    parse."""
+    rows = parse_ntriples_lines(
+        spark.read.text(path).select(F.col("value").alias("line")))
+    if strict:
+        bad = rows.filter("invalid").select("line").limit(5).collect()
+        if bad:
+            sample = "\n  ".join(r["line"] for r in bad)
+            raise ValueError(
+                f"read_ntriples: malformed N-Triples line(s) in {path} "
+                f"(first up to 5):\n  {sample}")
+    return dataset_from_parsed(rows)
 
 
 def _nt_escape(col) -> F.Column:

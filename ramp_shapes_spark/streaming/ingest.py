@@ -272,3 +272,63 @@ def stream_turn_rates(
             "n_turns", "n_conversations",
         )
     )
+
+
+def stream_ntriples_ingest(
+    spark: SparkSession,
+    input_path: str,
+    root: str,
+    n_buckets: int = 16,
+    checkpoint: Optional[str] = None,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Stream raw N-Triples drops straight into the bucketed triple
+    table — the 100 TB RDF-dump ingest path.
+
+    The parser (ntriples.py:parse_ntriples_lines) is expression-only,
+    so the same code runs under Structured Streaming: each micro-batch
+    splits into valid triples (materialized exactly-once via the
+    idempotent per-batch writer, like stream_kg_ingest) and a
+    DEAD-LETTER text sink of malformed lines at
+    ``<root>/deadletter/<batch_id>`` — a trillion-line dump must
+    neither kill the job on one bad line (batch strict mode) nor
+    silently shrink (non-strict drop); the dead-letter channel makes
+    every rejected line auditable.  Returns the StreamingQuery."""
+    from ramp_shapes_spark.ntriples import (
+        dataset_from_parsed, parse_ntriples_lines,
+    )
+    from ramp_shapes_spark.pipeline.materialize import materialize_triples
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import functions as F
+
+        parsed = parse_ntriples_lines(
+            batch_df.select(F.col("value").alias("line"))
+        ).localCheckpoint(eager=True)  # one parse feeds both splits
+        bad = parsed.filter("invalid").select(F.col("line").alias("value"))
+        if not bad.isEmpty():
+            bad.write.mode("overwrite").text(
+                os.path.join(root, "deadletter", f"{batch_id:010d}"))
+        materialize_triples(
+            dataset_from_parsed(parsed),
+            os.path.join(root, "batches", f"{batch_id:010d}"),
+            n_buckets=n_buckets,
+            input_fingerprint=f"nt-stream-batch-{batch_id}",
+            spark=spark,
+        )
+
+    return (
+        lines.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation",
+                checkpoint or os.path.join(root, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -7,8 +7,7 @@ import pytest
 from ramp_shapes_spark.dataset import triples_df
 from ramp_shapes_spark.ntriples import read_ntriples, write_ntriples
 from ramp_shapes_spark.terms import (
-    RDF_LANG_STRING, RDF_TYPE, XSD_INTEGER, XSD_STRING, Term, bnode, iri,
-    lit,
+    RDF_LANG_STRING, RDF_TYPE, XSD_INTEGER, XSD_STRING, bnode, iri, lit,
 )
 
 EX = "http://example.com/nt#"
@@ -18,10 +17,6 @@ def _key(row):
     def t(x):
         return (x["kind"], x["value"], x["dt"], x["lang"])
     return (t(row["s"]), row["p"], t(row["o"]))
-
-
-def _term_key(term):
-    return (term.kind, term.value, term.dt, term.lang)
 
 
 def test_roundtrip_struct_equality(spark, tmp_path):
@@ -109,3 +104,36 @@ def test_writer_rejects_non_rdf_terms(spark, tmp_path):
         spark, [(variable("v"), EX + "p", lit("x"))])
     with pytest.raises(Exception, match="unsupported term kind"):
         write_ntriples(triples, str(tmp_path / "x.nt"))
+
+
+def test_stream_ntriples_ingest(spark, tmp_path):
+    """Two drops (second contains a malformed line): valid triples
+    land exactly-once in per-batch bucketed tables, the bad line in
+    the dead-letter sink."""
+    import glob
+    import os
+
+    from ramp_shapes_spark.streaming.ingest import stream_ntriples_ingest
+
+    inp = tmp_path / "drops"
+    inp.mkdir()
+    root = str(tmp_path / "kg")
+    (inp / "drop1.nt").write_text(
+        '<http://a> <http://p> "one" .\n'
+        '<http://a> <http://p2> <http://b> .\n', encoding="utf-8")
+    q = stream_ntriples_ingest(spark, str(inp), root, n_buckets=4)
+    q.awaitTermination(120)
+    (inp / "drop2.nt").write_text(
+        '<http://c> <http://p> "two" .\n'
+        'this line is garbage\n', encoding="utf-8")
+    q = stream_ntriples_ingest(spark, str(inp), root, n_buckets=4)
+    q.awaitTermination(120)
+
+    batch_dirs = sorted(glob.glob(os.path.join(root, "batches", "*", "data")))
+    assert len(batch_dirs) == 2
+    total = sum(spark.read.parquet(d).count() for d in batch_dirs)
+    assert total == 3
+    dead = sorted(glob.glob(os.path.join(root, "deadletter", "*")))
+    assert len(dead) == 1
+    bad_lines = spark.read.text(dead[0]).collect()
+    assert [r["value"] for r in bad_lines] == ["this line is garbage"]
