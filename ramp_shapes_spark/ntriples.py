@@ -88,37 +88,40 @@ def _term(kind, value, dt=None, lang=None) -> F.Column:
 def parse_ntriples_lines(lines: DataFrame,
                          line_col: str = "line") -> DataFrame:
     """Core parser: a pure column transformation from raw text lines to
-    ``(line, s, p, o, invalid)`` — comment/blank lines dropped, every
-    other line either parsed or flagged.  Being expression-only it
+    the input columns plus ``(s, p, o, invalid)`` — comment/blank lines
+    dropped, every other line either parsed or flagged.  Input columns
+    other than ``line_col`` pass through untouched (the N-Quads reader
+    rides its graph lexeme alongside).  Being expression-only it
     composes with BOTH batch and Structured Streaming inputs
     (``readStream.text`` → this → a dead-letter split on ``invalid``;
     see streaming/ingest.py:stream_ntriples_ingest)."""
-    content = lines.select(F.col(line_col).alias("line")).filter(
-        ~F.trim("line").startswith("#") & (F.trim("line") != ""))
+    passthrough = list(lines.columns)
+    content = lines.filter(
+        ~F.trim(line_col).startswith("#") & (F.trim(line_col) != ""))
 
     parsed = content.select(
-        "line",
-        F.regexp_extract("line", _MASTER, 1).alias("subj"),
-        F.regexp_extract("line", _MASTER, 2).alias("pred"),
-        F.regexp_extract("line", _MASTER, 3).alias("obj"),
+        *passthrough,
+        F.regexp_extract(line_col, _MASTER, 1).alias("__subj"),
+        F.regexp_extract(line_col, _MASTER, 2).alias("__pred"),
+        F.regexp_extract(line_col, _MASTER, 3).alias("__obj"),
     )
 
     s_col = F.when(
-        F.col("subj").startswith("<"),
+        F.col("__subj").startswith("<"),
         _term(F.lit("iri"),
-              _decode(F.regexp_extract("subj", r"^<(.*)>$", 1))),
-    ).otherwise(_term(F.lit("bnode"), F.substring("subj", 3, 1 << 20)))
+              _decode(F.regexp_extract("__subj", r"^<(.*)>$", 1))),
+    ).otherwise(_term(F.lit("bnode"), F.substring("__subj", 3, 1 << 20)))
 
-    p_col = _decode(F.col("pred"))
+    p_col = _decode(F.col("__pred"))
 
-    obj = F.col("obj")
+    obj = F.col("__obj")
     lit_value = _decode(
-        F.regexp_extract("obj", r'^"((?:[^"\\]|\\.)*)"', 1))
+        F.regexp_extract("__obj", r'^"((?:[^"\\]|\\.)*)"', 1))
     dt_raw = F.nullif(
-        F.regexp_extract("obj", r"\^\^<(" + _IRI + r")>$", 1), F.lit(""))
+        F.regexp_extract("__obj", r"\^\^<(" + _IRI + r")>$", 1), F.lit(""))
     lang = F.nullif(
         F.regexp_extract(
-            "obj", r'^"(?:[^"\\]|\\.)*"@(' + _LANG + r")$", 1),
+            "__obj", r'^"(?:[^"\\]|\\.)*"@(' + _LANG + r")$", 1),
         F.lit(""))
     lit_dt = (
         F.when(lang.isNotNull(), F.lit(RDF_LANG_STRING))
@@ -128,15 +131,16 @@ def parse_ntriples_lines(lines: DataFrame,
     o_col = (
         F.when(obj.startswith("<"),
                _term(F.lit("iri"),
-                     _decode(F.regexp_extract("obj", r"^<(.*)>$", 1))))
+                     _decode(F.regexp_extract("__obj", r"^<(.*)>$", 1))))
         .when(obj.startswith("_:"),
-              _term(F.lit("bnode"), F.substring("obj", 3, 1 << 20)))
+              _term(F.lit("bnode"), F.substring("__obj", 3, 1 << 20)))
         .otherwise(_term(F.lit("lit"), lit_value, lit_dt, lang))
     )
 
     rows = parsed.select(
-        "line", s_col.alias("s"), p_col.alias("p"), o_col.alias("o"),
-        ((F.col("subj") == "") | ~obj.rlike(_OBJECT_OK)).alias("__bad"),
+        *passthrough,
+        s_col.alias("s"), p_col.alias("p"), o_col.alias("o"),
+        ((F.col("__subj") == "") | ~obj.rlike(_OBJECT_OK)).alias("__bad"),
     )
     invalid = (
         F.col("__bad")
@@ -144,7 +148,8 @@ def parse_ntriples_lines(lines: DataFrame,
         | F.col("o")["value"].isNull()
         | ((F.col("o")["kind"] == "lit") & F.col("o")["dt"].isNull())
     )
-    return rows.select("line", "s", "p", "o", invalid.alias("invalid"))
+    return rows.select(*passthrough, "s", "p", "o",
+                       invalid.alias("invalid"))
 
 
 def dataset_from_parsed(parsed: DataFrame) -> DataFrame:
@@ -219,6 +224,110 @@ def write_ntriples(triples: DataFrame, path: str,
     out = triples.select(F.concat(
         nt_term_col(F.col("s")), F.lit(" <"), F.col("p"), F.lit("> "),
         nt_term_col(F.col("o")), F.lit(" ."),
+    ).alias("value"))
+    if partitions:
+        out = out.repartition(partitions)
+    out.write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# N-Quads: the same line grammar with an optional graph-label term
+# (iri or bnode) before the terminating dot — the named-graph analog
+# of the reference's Quad.graph position (rdf-model.ts Quad; absent
+# label == the default graph, terms.py:156).
+# ---------------------------------------------------------------------------
+
+_MASTER_Q = (
+    r"^[ \t]*(<" + _IRI + r">|" + _BNODE + r")"
+    r"[ \t]+<(" + _IRI + r")>"
+    r"[ \t]+(.*?)"
+    r"(?:[ \t]+(<" + _IRI + r">|" + _BNODE + r"))?[ \t]*\.[ \t]*$"
+)
+
+
+def read_nquads(spark: SparkSession, path: str,
+                strict: bool = True) -> DataFrame:
+    """Parse N-Quads file(s) into ``(tid, s, p, o, g)``; ``g`` is a
+    TERM struct — the graph label, or the default-graph term when the
+    line has three terms (plain N-Triples lines are valid N-Quads).
+    The triple columns reuse the N-Triples decoding path; callers that
+    want one graph slice filter on ``g`` before framing (a plain
+    column filter, pushdown-friendly)."""
+    lines = spark.read.text(path).select(F.col("value").alias("line"))
+    content = lines.filter(
+        ~F.trim("line").startswith("#") & (F.trim("line") != ""))
+    # re-assemble a triple-only line for the shared parser, keeping the
+    # graph lexeme aside
+    split = content.select(
+        "line",
+        F.regexp_extract("line", _MASTER_Q, 1).alias("subj"),
+        F.regexp_extract("line", _MASTER_Q, 2).alias("pred"),
+        F.regexp_extract("line", _MASTER_Q, 3).alias("obj"),
+        F.nullif(F.regexp_extract("line", _MASTER_Q, 4),
+                 F.lit("")).alias("glex"),
+    )
+    triple_lines = split.select(
+        "line", "glex",
+        F.concat(F.col("subj"), F.lit(" <"), F.col("pred"), F.lit("> "),
+                 F.col("obj"), F.lit(" .")).alias("__tline"),
+        (F.col("subj") == "").alias("__nomatch"),
+    )
+    parsed = parse_ntriples_lines(
+        triple_lines.select(F.col("__tline").alias("line"),
+                            "glex", F.col("line").alias("orig"),
+                            "__nomatch"),
+    )
+    # parse_ntriples_lines keeps only its ``line`` projection — re-join
+    # is avoided by recomputing on the same row set: select carries the
+    # extra columns through because the parser projects from its input
+    g_col = (
+        F.when(F.col("glex").isNull(),
+               _term(F.lit("dgraph"), F.lit("")))
+        .when(F.col("glex").startswith("<"),
+              _term(F.lit("iri"),
+                    _decode(F.regexp_extract("glex", r"^<(.*)>$", 1))))
+        .otherwise(_term(F.lit("bnode"), F.substring("glex", 3, 1 << 20)))
+    )
+    rows = parsed.select(
+        F.col("orig").alias("line"), "s", "p", "o",
+        g_col.alias("g"),
+        (F.col("invalid") | F.col("__nomatch")
+         | (F.col("glex").isNotNull() & g_col["value"].isNull())
+         ).alias("invalid"),
+    )
+    if strict:
+        bad = rows.filter("invalid").select("line").limit(5).collect()
+        if bad:
+            sample = "\n  ".join(r["line"] for r in bad)
+            raise ValueError(
+                f"read_nquads: malformed N-Quads line(s) in {path} "
+                f"(first up to 5):\n  {sample}")
+    good = rows.filter(~F.col("invalid")).select("s", "p", "o", "g")
+    return (
+        good.dropDuplicates(["s", "p", "o", "g"])
+        .select(
+            F.xxhash64(F.col("s")["kind"], F.col("s")["value"], F.col("p"),
+                       F.col("o")["kind"], F.col("o")["value"],
+                       F.col("o")["dt"], F.col("o")["lang"],
+                       F.col("g")["kind"], F.col("g")["value"])
+            .alias("tid"),
+            "s", "p", "o", "g",
+        )
+    )
+
+
+def write_nquads(quads: DataFrame, path: str,
+                 partitions: Optional[int] = None) -> None:
+    """Serialize ``(s, p, o, g)`` rows as N-Quads text; default-graph
+    rows print as plain triples."""
+    g = F.col("g")
+    g_lex = (
+        F.when(g["kind"] == "dgraph", F.lit(""))
+        .otherwise(F.concat(F.lit(" "), nt_term_col(g)))
+    )
+    out = quads.select(F.concat(
+        nt_term_col(F.col("s")), F.lit(" <"), F.col("p"), F.lit("> "),
+        nt_term_col(F.col("o")), g_lex, F.lit(" ."),
     ).alias("value"))
     if partitions:
         out = out.repartition(partitions)

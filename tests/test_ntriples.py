@@ -137,3 +137,49 @@ def test_stream_ntriples_ingest(spark, tmp_path):
     assert len(dead) == 1
     bad_lines = spark.read.text(dead[0]).collect()
     assert [r["value"] for r in bad_lines] == ["this line is garbage"]
+
+
+def test_nquads_roundtrip_and_default_graph(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ramp_shapes_spark.ntriples import read_nquads, write_nquads
+
+    text = "\n".join([
+        "# quads",
+        '<http://s> <http://p> "three terms" .',              # default graph
+        '<http://s> <http://p> "in g1" <http://g1> .',
+        '_:b0 <http://p> <http://o> _:g2 .',                  # bnode graph
+        '<http://s> <http://p2> "lit with @ and <>"@en <http://g1> .',
+    ])
+    f = tmp_path / "in.nq"
+    f.write_text(text + "\n", encoding="utf-8")
+    df = read_nquads(spark, str(f))
+    got = {(r["s"]["value"], r["p"], r["o"]["value"],
+            r["g"]["kind"], r["g"]["value"]) for r in df.collect()}
+    assert got == {
+        ("http://s", "http://p", "three terms", "dgraph", ""),
+        ("http://s", "http://p", "in g1", "iri", "http://g1"),
+        ("b0", "http://p", "http://o", "bnode", "g2"),
+        ("http://s", "http://p2", "lit with @ and <>", "iri", "http://g1"),
+    }
+    # writer roundtrip: re-serialize and re-parse
+    out = tmp_path / "out.nq"
+    write_nquads(df, str(out))
+    again = {(r["s"]["value"], r["p"], r["o"]["value"],
+              r["g"]["kind"], r["g"]["value"])
+             for r in read_nquads(spark, str(out)).collect()}
+    assert again == got
+    # graph slicing is a plain column filter
+    g1 = df.filter((F.col("g")["kind"] == "iri")
+                   & (F.col("g")["value"] == "http://g1"))
+    assert g1.count() == 2
+
+
+def test_nquads_strict_rejects_bad_graph_term(spark, tmp_path):
+    from ramp_shapes_spark.ntriples import read_nquads
+
+    f = tmp_path / "bad.nq"
+    f.write_text('<http://s> <http://p> "v" "not-a-graph" .\n',
+                 encoding="utf-8")
+    with pytest.raises(ValueError, match="malformed"):
+        read_nquads(spark, str(f))
