@@ -510,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_subgraph_counts": R.q_shape_subgraph_counts,
         "store_frame_names": R.q_store_frame_names,
         "ntriples_roundtrip_counts": R.q_ntriples_roundtrip_counts,
+        "incremental_frame_names": R.q_incremental_frame_names,
         "neardup_clusters": q_neardup_clusters,
         "bpe_token_counts": q_bpe_token_counts,
         "pii_redaction": q_pii_redaction,
@@ -856,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "shape_subgraph_counts": R.oracle_shape_subgraph_counts(),
         "store_frame_names": R.oracle_store_frame_names(),
         "ntriples_roundtrip_counts": R.oracle_ntriples_roundtrip_counts(),
+        "incremental_frame_names": R.oracle_incremental_frame_names(),
         "flatten_list_counts": R.oracle_flatten_list_counts(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -44,7 +44,7 @@ QUERY_GROUPS = {
         "flatten_roundtrip_counts", "flatten_relational_counts",
         "flatten_list_counts", "turtle_roundtrip_counts",
         "shape_subgraph_counts", "store_frame_names",
-        "ntriples_roundtrip_counts",
+        "ntriples_roundtrip_counts", "incremental_frame_names",
     ],
     "paths": [
         "path_sequence_region", "path_closure_chain", "path_one_or_more",

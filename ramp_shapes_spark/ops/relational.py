@@ -937,3 +937,81 @@ def oracle_ntriples_roundtrip_counts() -> str:
         UNION ALL
         SELECT '{EX}inRegion', CAST(c AS BIGINT) FROM n
     """
+
+
+def q_incremental_frame_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental frame maintenance (incremental.py): frame the
+    supplier shape, then apply a deterministic delta — suppliers with
+    ``s_suppkey % 10 == 0`` get a renamed name triple — and maintain
+    the framed view incrementally (affected-roots reverse walk +
+    re-frame of only those foci).  The result must equal a full
+    re-frame of the post-delta graph; projected as (supplier, name,
+    nation name) so the oracle is one CASE expression."""
+    from ramp_shapes_spark.incremental import incremental_frame
+
+    b = ShapeBuilder()
+    nation = b.record(
+        EX + "Nation",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Nation")),
+                              transient=True)],
+        properties=[prop("name", EX + "name",
+                         b.literal(datatype=XSD_STRING))],
+    )
+    supplier = b.record(
+        EX + "Supplier",
+        type_properties=[prop("t", RDF_TYPE,
+                              b.constant(iri(EX + "Supplier")),
+                              transient=True)],
+        properties=[
+            prop("id", SELF_PATH, b.resource(only_named=True)),
+            prop("name", EX + "name", b.literal(datatype=XSD_STRING)),
+            prop("nation", EX + "locatedIn", nation),
+        ],
+    )
+
+    old_t = supplier_graph(spark, sf_dir).localCheckpoint(eager=True)
+    sup = _load(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 10 == 0)
+    sup_iri = F.concat(F.lit("sup:"), F.col("s_suppkey").cast("string"))
+    removed = sup.select(
+        _iri(sup_iri).alias("s"), F.lit(EX + "name").alias("p"),
+        _lit(F.col("s_name"), XSD_STRING).alias("o"))
+    added = sup.select(
+        _iri(sup_iri).alias("s"), F.lit(EX + "name").alias("p"),
+        _lit(F.concat(F.lit("RENAMED "), F.col("s_name")),
+             XSD_STRING).alias("o"))
+    rem_keys = removed.select(
+        F.concat_ws("\x1f", F.col("s")["value"], "p",
+                    F.col("o")["value"]).alias("__rk"))
+    new_t = (
+        old_t.join(
+            rem_keys,
+            F.concat_ws("\x1f", F.col("s")["value"], F.col("p"),
+                        F.col("o")["value"]) == F.col("__rk"),
+            "left_anti")
+        .unionByName(added.select(
+            F.monotonically_increasing_id().alias("tid"), "s", "p", "o"))
+        .localCheckpoint(eager=True)
+    )
+
+    engine = FrameEngine(spark, b.catalog, old_t,
+                         diagnostics=False, track_errors=False)
+    old_matches = engine.frame(supplier).matches.localCheckpoint(eager=True)
+    got = incremental_frame(spark, b.catalog, supplier, old_matches, new_t,
+                            added, removed,
+                            diagnostics=False, track_errors=False)
+    return got.select(
+        F.get_json_object("value", "$.id").alias("subject"),
+        F.get_json_object("value", "$.name").alias("sup_name"),
+        F.get_json_object("value", "$.nation.name").alias("nat_name"),
+    )
+
+
+def oracle_incremental_frame_names() -> str:
+    return """
+        SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS subject,
+               CASE WHEN s_suppkey % 10 = 0
+                    THEN 'RENAMED ' || s_name ELSE s_name END AS sup_name,
+               n_name AS nat_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """
