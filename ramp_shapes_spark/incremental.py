@@ -206,6 +206,7 @@ def incremental_frame(spark: SparkSession, catalog: ShapeCatalog,
                       triples_new: DataFrame,
                       added: Optional[DataFrame],
                       removed: Optional[DataFrame],
+                      prune: bool = False,
                       **frame_kwargs) -> DataFrame:
     """Maintain ``frame(root)`` across a delta: returns the new
     ``matches`` relation (``focus``, ``ord``, ``value``) equal — up to
@@ -213,8 +214,19 @@ def incremental_frame(spark: SparkSession, catalog: ShapeCatalog,
 
     ``old_matches``: the previous result's ``matches`` (must include
     the ``focus`` column).  ``added``/``removed``: the delta as
-    ``(s, p, o)`` DataFrames (either may be ``None``)."""
+    ``(s, p, o)`` DataFrames (either may be ``None``).
+
+    ``prune=True`` first extracts the affected foci's subgraph
+    (subgraph.py, seeded at the affected roots) and re-frames against
+    THAT — the re-frame's joins then touch a delta-proportional slice
+    instead of the full table, which is the shape a 100 TB store
+    needs; the extraction itself is frontier equi-joins whose
+    predicate filters push to the scan (and prune ``pbucket``
+    partitions when framing off the materialized sink).  Frame
+    equality is guaranteed by the subgraph walk's invariant
+    (frame(subgraph) == frame(full) for the walked roots)."""
     from .frame import FrameEngine
+    from .subgraph import shape_subgraph
 
     roots = affected_roots(
         triples_new, catalog, root,
@@ -226,7 +238,12 @@ def incremental_frame(spark: SparkSession, catalog: ShapeCatalog,
     )
     if roots.isEmpty():
         return kept
-    engine = FrameEngine(spark, catalog, triples_new, **frame_kwargs)
+    table = triples_new
+    if prune:
+        table = shape_subgraph(
+            triples_new, catalog, root, roots=roots,
+        ).localCheckpoint(eager=True)
+    engine = FrameEngine(spark, catalog, table, **frame_kwargs)
     res = engine.frame(
         root, candidates=roots.select(F.col("node").alias("focus")))
     fresh = res.matches.select(*old_matches.columns)
