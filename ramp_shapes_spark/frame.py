@@ -139,6 +139,21 @@ class FrameResult:
         return row[0]["code"], json.loads(row[0]["stack"])
 
 
+def _try_record_rel(fastframe, engine: "FrameEngine", sid: ShapeID):
+    """Build the fast-tree relation, or return ``None`` when a closure
+    path inside it trips the MAX_CLOSURE_GROWTH guard — the universal
+    (all-source) closure cannot be demand-driven, but the general
+    compiler evaluates the same path with the seeded-frontier fallback,
+    so the caller must fall through to it instead of hard-failing on
+    data that frames fine via the general path."""
+    try:
+        return fastframe.record_rel(engine, sid)
+    except RuntimeError as exc:
+        if "refusing to go quadratic" not in str(exc):
+            raise
+        return None
+
+
 def _shape_display(shape: Shape) -> str:
     """Static stack-frame shape display (test/runner.ts:89-99)."""
     if shape.id.kind == "iri":
@@ -259,7 +274,8 @@ class FrameEngine:
                     or (not self._diag
                         and fasterrors.error_capable(self, shape0)))
                 if use_fast:
-                    rel = fastframe.record_rel(self, root)
+                    rel = _try_record_rel(fastframe, self, root)
+                if use_fast and rel is not None:
                     if ordered:
                         # the relation's __ford is min tid AS SUBJECT;
                         # the reference iterates candidates by first
@@ -765,7 +781,10 @@ class FrameEngine:
             if fastframe.qualifies(self, shape):
                 # whole-tree relation off the shared gather (memoized
                 # per shape): a site is two joins, not a sub-program
-                rel = fastframe.record_rel(self, shape.id)
+                rel = _try_record_rel(fastframe, self, shape.id)
+            else:
+                rel = None
+            if rel is not None:
                 matches = cand.join(rel, "fkey").selectExpr(
                     "gid", "fkey", "focus", "'' AS vkey", "ord",
                     "__fval AS value",

@@ -29,7 +29,9 @@ Reader design:
 * limitations, rejected LOUDLY in strict mode rather than mis-parsed:
   ``\\U........`` (supplementary-plane UCHAR) and ``\\'`` escapes
   (legal but emitted by no mainstream serializer), and bnode labels
-  containing ``.``.
+  containing ``.``.  The converse JSON-only escape ``\\/`` (legal JSON,
+  illegal N-Triples ECHAR) is explicitly flagged invalid rather than
+  silently decoded.
 
 Writer: canonical form — ``xsd:string`` literals print plain,
 ``@lang`` for language strings, ``^^<dt>`` otherwise; raw tab stays
@@ -137,10 +139,19 @@ def parse_ntriples_lines(lines: DataFrame,
         .otherwise(_term(F.lit("lit"), lit_value, lit_dt, lang))
     )
 
+    # \/ is a legal JSON escape but NOT an N-Triples ECHAR — the JSON
+    # decode would silently accept it, so flag any lexeme where a '/'
+    # follows an odd number of backslashes (strip \\ pairs, then look
+    # for a remaining \/)
+    def _bad_solidus(c: F.Column) -> F.Column:
+        return F.replace(c, F.lit("\\\\"), F.lit("")).contains("\\/")
+
     rows = parsed.select(
         *passthrough,
         s_col.alias("s"), p_col.alias("p"), o_col.alias("o"),
-        ((F.col("__subj") == "") | ~obj.rlike(_OBJECT_OK)).alias("__bad"),
+        ((F.col("__subj") == "") | ~obj.rlike(_OBJECT_OK)
+         | _bad_solidus(F.col("__subj")) | _bad_solidus(F.col("__pred"))
+         | _bad_solidus(F.col("__obj"))).alias("__bad"),
     )
     invalid = (
         F.col("__bad")

@@ -175,8 +175,11 @@ def _simhash_word(toks: Column, salt: str, nbits: int) -> Column:
     second (driver-side constant-size) fold packs the majority bits.
     Vote semantics are identical to the per-bit form: parity 1 → +1,
     parity 0 → −1, bit set iff votes > 0."""
+    # NULL text -> fingerprint 0 (the pre-rewrite per-bit form summed
+    # WHEN conditions over a NULL array to 0; aggregate() would instead
+    # propagate NULL and silently re-bucket such rows downstream)
     parities = F.transform(
-        toks,
+        F.coalesce(toks, F.array().cast("array<string>")),
         lambda t: F.translate(F.md5(F.concat(t, F.lit(salt))),
                               *_HEX_PARITY),
     )
@@ -274,6 +277,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     from pyspark.sql import Window
 
     toks = tokens_col(F.col(text_col))
+    # deliberate sub-n behavior: a document SHORTER than n tokens
+    # contributes its whole token sequence as one truncated "gram" so
+    # short near-identical docs can still pair (decontam.word_ngrams
+    # instead emits NO grams for sub-n docs — the right call there,
+    # since a truncated gram must not match a benchmark n-gram)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -439,8 +447,14 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     per-document rebuild aggregation.  No per-paragraph shuffle ever
     keys on document content longer than an md5.
     """
+    # F.split takes a Java regex; ``sep`` is documented as a LITERAL
+    # separator (and is used literally in the rebuild's concat_ws), so
+    # quote it — otherwise sep="." or "||" silently shreds every
+    # document into per-character "paragraphs"
+    quoted_sep = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = F.filter(
-        F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
+        F.transform(F.split(F.col(text_col), quoted_sep),
+                    lambda x: F.trim(x)),
         lambda x: x != "",
     )
     ex = (

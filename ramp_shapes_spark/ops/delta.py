@@ -42,8 +42,12 @@ def snapshot_delta(
     """
     if key_cols is None:
         key_cols = list(old.columns)
-    if old.columns != new.columns and set(key_cols) - set(new.columns):
-        raise ValueError(f"key columns {key_cols} missing from new side")
+    missing_old = set(key_cols) - set(old.columns)
+    missing_new = set(key_cols) - set(new.columns)
+    if missing_old or missing_new:
+        raise ValueError(
+            f"key columns missing: {sorted(missing_old)} from old side, "
+            f"{sorted(missing_new)} from new side")
 
     def counted(df: DataFrame, alias: str) -> DataFrame:
         return df.select(*key_cols).groupBy(*key_cols).agg(

@@ -369,8 +369,16 @@ def cooccur_lift(
             "item_a",
             "item_b",
             "n_ab",
+            # decimal(38,0) arithmetic: n_ab * n_containers * lift_scale
+            # overflows int64 once n_ab * n_containers exceeds ~9.2e12
+            # (e.g. 1e9 kept containers and n_ab >= ~9e3) and non-ANSI
+            # Spark would wrap silently; the decimal product is exact to
+            # 1e38 and floor(/) equals integer div for non-negatives
             F.expr(
-                f"(n_ab * {int(n_containers)}L * {int(lift_scale)}L) div (n_a * n_b)"
+                f"CAST(floor((CAST(n_ab AS DECIMAL(19,0)) * "
+                f"{int(n_containers)}BD * {int(lift_scale)}BD) / "
+                f"(CAST(n_a AS DECIMAL(19,0)) * "
+                f"CAST(n_b AS DECIMAL(19,0)))) AS BIGINT)"
             ).alias("lift_ppm"),
         )
     )

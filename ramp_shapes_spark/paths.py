@@ -244,7 +244,18 @@ def _seeded_closure(df: DataFrame, keys: List[str], inner,
     if include_self:
         parts.append(df.select(*keys, "node", "tord"))
     if acc is not None:
-        parts.append(acc.drop("__nk"))
+        # BFS discovery kept each node's first-round tord, but the
+        # pointer-doubling closure dedups to the MIN final-step tid
+        # over all derivations — recompute the same semantics with one
+        # extra hop over the full reached set S = seeds ∪ acc: S is
+        # closed under ``inner``, so the hop's targets are exactly
+        # acc's nodes, and eval_path's dedup takes the min tid over
+        # ALL in-edges from S.  Keeps framed-value ordering identical
+        # whichever side of the growth-guard threshold the data lands.
+        reached = _dedup(
+            df.select(*keys, "node", "tord").unionAll(acc.drop("__nk")),
+            keys)
+        parts.append(eval_path(inner, reached, keys, triples, reverse))
     if not parts:
         return _dedup(df.select(*keys, "node", "tord").limit(0), keys)
     out = parts[0]

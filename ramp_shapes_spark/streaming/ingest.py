@@ -185,7 +185,11 @@ def stream_document_ingest(
     deliberately per-batch — the global fold across drops is
     :func:`compact_stream_document_dedup`, the same LSM-style merge
     design as :func:`compact_stream_aliases`."""
-    docs = spark.readStream.schema(DOC_SCHEMA).parquet(input_path)
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    docs = reader.parquet(input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -219,10 +223,10 @@ def read_stream_documents(spark: SparkSession, root: str) -> DataFrame:
     dirs = [d for d in dirs if os.path.isdir(d)]
     if not dirs:
         raise FileNotFoundError(f"no ingested document drops under {root}")
-    out = spark.read.parquet(dirs[0])
-    for d in dirs[1:]:
-        out = out.unionByName(spark.read.parquet(d))
-    return out
+    # one multi-path read, not a per-drop Union loop: a corpus built
+    # from thousands of micro-batches would otherwise pay per-drop
+    # plan/schema cost and a thousands-deep Union plan on the driver
+    return spark.read.parquet(*dirs)
 
 
 def compact_stream_document_dedup(spark: SparkSession, root: str,

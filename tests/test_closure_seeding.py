@@ -226,3 +226,76 @@ def test_dense_closure_falls_back_to_seeded_frontier(spark):
                      seeds("c198"), ["k"], tri)
     got2 = sorted(r["node"]["value"] for r in out2.collect())
     assert got2 == ["c198", "c199", "c200"]
+
+
+def test_fast_tree_closure_guard_falls_back_to_general(spark):
+    """A fast-tree-qualifying shape whose closure path trips the
+    MAX_CLOSURE_GROWTH guard must fall back to the general compiler
+    (which evaluates the closure demand-driven), not hard-fail — the
+    same shape+data frames fine via the general path (round-5 review)."""
+    # dense-but-shallow reachability: 150 sources fan into a hub that
+    # fans out to 150 sinks, so the UNIVERSAL closure has ~150x150
+    # pairs (> 64x the ~300-edge base -> guard trips in round 1) while
+    # the demand-driven BFS from the one root is 3 cheap rounds
+    k = 150
+    t = [
+        (iri("root"), RDF_TYPE, iri(EX + "Root")),
+        (iri("root"), EX + "label", lit("r")),
+        (iri("root"), EX + "next", iri("a1")),
+    ]
+    t += [(iri(f"a{i}"), EX + "next", iri("hub")) for i in range(1, k + 1)]
+    t += [(iri("hub"), EX + "next", iri(f"b{j}")) for j in range(1, k + 1)]
+
+    b = ShapeBuilder()
+    root = b.record(
+        EX + "Root",
+        type_properties=[prop("t", RDF_TYPE, b.constant(iri(EX + "Root")),
+                              transient=True)],
+        properties=[
+            prop("label", EX + "label", b.literal(datatype=XSD_STRING)),
+            prop("reach", OneOrMorePath(PredicatePath(EX + "next")),
+                 b.set_of(b.resource(only_named=True))),
+        ],
+    )
+    from ramp_shapes_spark import fastframe
+    engine = FrameEngine(spark, b.catalog, triples_df(spark, t))
+    assert fastframe.qualifies(engine, b.catalog.get(root))
+    rows = _values(engine.frame(root))
+    assert len(rows) == 1
+    assert sorted(rows[0]["reach"]) == sorted(
+        ["a1", "hub"] + [f"b{j}" for j in range(1, k + 1)])
+
+
+def test_seeded_closure_tord_matches_pointer_doubling(spark):
+    """The seeded-frontier fallback must dedup to the MIN final-step tid
+    like the pointer-doubling closure, not keep the first-discovery
+    round's tid — otherwise framed-value ordering flips across the
+    growth-guard threshold (round-5 review)."""
+    from pyspark.sql import functions as F
+
+    from ramp_shapes_spark.dataset import term_key_col
+    from ramp_shapes_spark.paths import _closure_from_sites, _seeded_closure
+
+    # v reachable at distance 1 via tid 2 AND at distance 2 via final
+    # step tid 1: first-discovery keeps 2, min-dedup keeps 1
+    t = [
+        (iri("u"), EX + "next", iri("w")),   # tid 0
+        (iri("w"), EX + "next", iri("v")),   # tid 1
+        (iri("u"), EX + "next", iri("v")),   # tid 2
+    ]
+    tri = triples_df(spark, t)
+    seeds = spark.createDataFrame(
+        [(iri("u").as_row(), 0)],
+        "node struct<kind:string,value:string,dt:string,lang:string>, "
+        "tord long",
+    ).select(term_key_col(F.col("node")).alias("k"), "node", "tord")
+
+    inner = PredicatePath(EX + "next")
+    rows = {}
+    for name, fn in (("doubling", _closure_from_sites),
+                     ("seeded", _seeded_closure)):
+        out = fn(seeds, ["k"], inner, tri, False, False)
+        rows[name] = sorted(
+            (r["node"]["value"], r["tord"]) for r in out.collect())
+    assert rows["seeded"] == rows["doubling"]
+    assert ("v", 1) in rows["doubling"]

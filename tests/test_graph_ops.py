@@ -138,3 +138,21 @@ def test_cooccur_lift_exact_and_guarded(spark):
     # no pair from the dropped mega-container
     assert all(a < 100 and b < 100 for a, b in out)
     assert len(out) == 3
+
+
+def test_cooccur_lift_no_int64_overflow(spark):
+    """lift_ppm arithmetic must survive n_ab * n_containers * scale
+    beyond int64 (round-5 review: decimal(38,0) product, floor-div)."""
+    from ramp_shapes_spark.ops.graph import cooccur_lift
+
+    # two items always together in 40 containers; inflate the scale so
+    # the naive int64 product n_ab*n_containers*scale would wrap
+    rows = [(c, i) for c in range(40) for i in ("x", "y")]
+    obs = spark.createDataFrame(rows, ["container", "item"])
+    out = cooccur_lift(obs, "container", "item",
+                       lift_scale=10_000_000_000_000_000).collect()
+    assert len(out) == 1
+    r = out[0]
+    # perfect co-occurrence: lift = scale * C / C = scale... with
+    # n_ab=40, C=40, n_a=n_b=40: lift = 40*40*S/(40*40) = S exactly
+    assert r["lift_ppm"] == 10_000_000_000_000_000

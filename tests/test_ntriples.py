@@ -183,3 +183,24 @@ def test_nquads_strict_rejects_bad_graph_term(spark, tmp_path):
                  encoding="utf-8")
     with pytest.raises(ValueError, match="malformed"):
         read_nquads(spark, str(f))
+
+
+def test_strict_rejects_json_only_solidus_escape(spark, tmp_path):
+    r"""``\/`` is a legal JSON escape but not an N-Triples ECHAR — the
+    strict reader must flag it instead of silently decoding to ``/``
+    (round-5 review).  ``\\/`` (escaped backslash then slash) stays
+    legal."""
+    import pytest
+
+    from ramp_shapes_spark.ntriples import read_ntriples
+
+    bad = tmp_path / "bad.nt"
+    bad.write_text('<http://x/s> <http://x/p> "a\\/b" .\n')
+    with pytest.raises(ValueError, match="malformed"):
+        read_ntriples(spark, str(bad))
+
+    good = tmp_path / "good.nt"
+    good.write_text('<http://x/s> <http://x/p> "a\\\\/b" .\n')
+    rows = read_ntriples(spark, str(good)).collect()
+    assert len(rows) == 1
+    assert rows[0]["o"]["value"] == "a\\/b"

@@ -910,3 +910,34 @@ def test_group_quantiles_exact_ranks(spark):
     assert (a["n"], a["q50"], a["q95"], a["q99"]) == (100, 50.0, 95.0, 99.0)
     b = out["b"]   # sorted [1,3,5]; ranks ceil(1.5)=2, ceil(2.85)=3
     assert (b["n"], b["q50"], b["q95"], b["q99"]) == (3, 3.0, 5.0, 5.0)
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    """``sep`` is a literal separator, not a regex: sep="." must split
+    on dots, not on every character (round-5 review: F.split takes a
+    Java regex, so the separator is now Pattern-quoted)."""
+    from ramp_shapes_spark.ops.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "alpha one.beta two"), (2, "alpha one.gamma")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, sep=".", max_repeats=1).collect()}
+    assert out[1]["n_paras"] == 2 and out[2]["n_paras"] == 2
+    # "alpha one" occurs twice corpus-wide -> dropped from both docs
+    assert out[1]["n_kept"] == 1 and out[2]["n_kept"] == 1
+    import hashlib
+    assert out[1]["clean_hash"] == hashlib.md5(b"beta two").hexdigest()
+
+
+def test_simhash_null_text_is_zero(spark):
+    """NULL text must fingerprint to 0 (pre-rewrite behavior), not
+    propagate NULL into downstream joins/buckets (round-5 review)."""
+    from ramp_shapes_spark.ops.dedup import simhash16, simhash64
+    docs = spark.createDataFrame(
+        [(1, None), (2, "hello world")], "doc_id long, text string")
+    s16 = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    assert s16[1] == 0 and s16[2] is not None
+    s64 = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+           for r in simhash64(docs).collect()}
+    assert s64[1] == (0, 0)

@@ -69,3 +69,17 @@ def test_hot_paths_have_no_python_stage(spark, name):
     p = _plan(df)
     assert "BatchEvalPython" not in p, f"{name} has row-Python"
     assert "ArrowEvalPython" not in p, f"{name} has a pandas UDF"
+
+
+def test_snapshot_delta_key_validation(spark):
+    """Bad key columns raise a clear ValueError, not a downstream
+    unresolved-column AnalysisException (round-5 review)."""
+    import pytest
+
+    from ramp_shapes_spark.ops.delta import snapshot_delta
+
+    old = spark.createDataFrame([(1, "a")], ["k", "v"])
+    new = spark.createDataFrame([(1, "a")], ["k", "w"])
+    with pytest.raises(ValueError, match="missing"):
+        snapshot_delta(old, new, key_cols=["k", "v"])
+    assert snapshot_delta(old, new, key_cols=["k"]).count() == 0
