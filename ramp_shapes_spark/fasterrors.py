@@ -75,6 +75,30 @@ def error_capable(engine, shape: Shape) -> bool:
     )
     if not ok:
         return False
+    # a bounded-set gather property forces record_rel onto the
+    # degree-capped pmap base, while this module's mismatch relation
+    # rebuilds EXACT counters — an over-cap subject would then fail the
+    # match relation yet look fine to the error channel and vanish from
+    # both; route such shapes to the general compiler instead
+    def has_pmap_base(sid) -> bool:
+        rec: RecordShape = engine.catalog.get(sid)
+        for p in list(rec.type_properties) + list(rec.properties):
+            fk = engine._fast_kind(p)
+            if fk is not None and fk[0] not in ("plain", "optional") \
+                    and not is_self_path(p.path):
+                return True
+            plan = _classify(engine, p)
+            if plan is not None and plan[0] in ("record", "optrec",
+                                                "bigsetrec"):
+                if has_pmap_base(plan[3 if plan[0] == "record" else 4]):
+                    return True
+            if plan is not None and plan[0] in ("map", "mapref"):
+                if has_pmap_base(plan[4]):
+                    return True
+        return False
+
+    if has_pmap_base(shape.id):
+        return False
     # every nested record shape must be code-derivable too (qualifies
     # already guarantees they are fast records; nothing further needed
     # — bubbling joins their mismatch relations which cover their own
@@ -202,17 +226,30 @@ def mismatch_rel(engine, sid: ShapeID) -> DataFrame:
     agg_exprs: List[str] = ["min(tid) AS sord"]
     preds: List[str] = []
     for i, (prop, plan) in enumerate(all_props):
+        nmatch = None
         if plan[0] == "anyleaf":
-            fail = "(" + " AND ".join(
-                engine._s_node_checks(leaf, "o")[0] for leaf in plan[1]
-            ) + ")"
+            # per-(triple, variant) match count — MUST mirror
+            # fastframe._scalar_base exactly (the match relation counts
+            # one match row per matching variant, like the general
+            # compiler's _compile_anyof)
+            checks = [engine._s_node_checks(leaf, "o")[0]
+                      for leaf in plan[1]]
+            fail = "(" + " AND ".join(checks) + ")"
+            nmatch = "(" + " + ".join(
+                f"IF(NOT {c}, 1, 0)" for c in checks) + ")"
         elif plan[0] == "gather" and not is_self_path(prop.path):
             fail, _ = engine._s_node_checks(plan[3], "o")
         else:
             continue
         pc = f"p = {s_str(prop.path.predicate)}"
-        agg_exprs.append(
-            f"count(CASE WHEN {pc} AND NOT {fail} THEN 1 END) AS __nm{i}")
+        if nmatch is not None:
+            agg_exprs.append(
+                f"coalesce(sum(CASE WHEN {pc} THEN {nmatch} ELSE 0 END), "
+                f"0) AS __nm{i}")
+        else:
+            agg_exprs.append(
+                f"count(CASE WHEN {pc} AND NOT {fail} THEN 1 END) "
+                f"AS __nm{i}")
         agg_exprs.append(
             f"count(CASE WHEN {pc} AND ({fail}) THEN 1 END) AS __nf{i}")
         agg_exprs.append(
@@ -275,14 +312,19 @@ def mismatch_rel(engine, sid: ShapeID) -> DataFrame:
             bounds = f"({nm} >= {min_c})"
             if max_c is not None:
                 bounds += f" AND ({nm} <= {max_c})"
-            inner_ok = f"({nf} = 0 AND {bounds})"
+            # lenient ITEMS are silently skipped (matches
+            # _s_fast_stat's failed = empty) — only the bounds can fail
+            inner_ok = (bounds if leaf.lenient else
+                        f"({nf} = 0 AND {bounds})")
             oks[i] = inner_ok
             if wrapper.lenient:
                 # lenient set failure surfaces as "property unmatched"
                 codes[i] = f"{ERR_NO_PROPERTY_MATCHES}"
             else:
-                code = f"CASE WHEN {nf} > 0 THEN ({code_ff}) "
-                code += f"WHEN {nm} < {min_c} THEN {ERR_MIN_COUNT} "
+                code = ("" if leaf.lenient else
+                        f"WHEN {nf} > 0 THEN ({code_ff}) ")
+                code = (f"CASE {code}"
+                        f"WHEN {nm} < {min_c} THEN {ERR_MIN_COUNT} ")
                 if max_c is not None:
                     code += f"WHEN {nm} > {max_c} THEN {ERR_MAX_COUNT} "
                 code += "END"

@@ -116,8 +116,13 @@ def _classify(engine, prop: Property):
         vs = engine.catalog.get(prop.value_shape)
         if isinstance(vs, SetShape):
             leaf = _leaf(engine, vs.item_shape)
-            if leaf is not None:
+            if leaf is not None and not leaf.lenient:
+                # lenient items: the general path silently drops failing
+                # items and matches the set with the rest; the pathset
+                # ok (nt = nm) cannot express that — route general
                 return ("pathset", prop.path, vs, leaf)
+            if leaf is not None:
+                return None
         leaf = _leaf(engine, prop.value_shape)
         if leaf is not None:
             # exactly-one leaf over a composite path (sequence /
@@ -129,29 +134,49 @@ def _classify(engine, prop: Property):
                 return ("pathleaf", prop.path, vs, oleaf)
         return None
     pred, inv = pi
+    vs = engine.catalog.get(prop.value_shape)
     if not inv:
         leaves = _anyof_leaves(engine, prop.value_shape)
         if leaves is not None:
+            # lenient unions (or lenient variants) empty their
+            # mismatches in the general compiler; the anyleaf counters
+            # cannot express that — route general
+            if vs.lenient or any(lf.lenient for lf in leaves):
+                return None
             return ("anyleaf", leaves)
-    vs = engine.catalog.get(prop.value_shape)
     if isinstance(vs, RecordShape) and qualifies(engine, vs):
+        # a lenient child record passes the property with exactly one
+        # matching edge among mismatching ones (frame.py empties its
+        # mismatches); the join plan requires ALL edges to match
+        if vs.lenient:
+            return None
         return ("record", pred, inv, prop.value_shape)
     if isinstance(vs, OptionalShape):
         inner = engine.catalog.get(vs.item_shape)
         if isinstance(inner, RecordShape) and qualifies(engine, inner):
+            if vs.lenient or inner.lenient:
+                return None
             return ("optrec", pred, inv, vs, vs.item_shape)
     if isinstance(vs, SetShape):
         leaf = _leaf(engine, vs.item_shape)
         if leaf is not None:
+            # lenient items are silently skipped by the general path
+            # while the set matches with the rest; nt = nm cannot say so
+            if leaf.lenient:
+                return None
             return ("bigset", pred, inv, vs, leaf)
         its = engine.catalog.get(vs.item_shape)
         if isinstance(its, RecordShape) and qualifies(engine, its):
+            if its.lenient:
+                return None
             return ("bigsetrec", pred, inv, vs, vs.item_shape)
         return None
     if isinstance(vs, MapShape):
         item = engine.catalog.get(vs.item_shape)
         if not (isinstance(item, RecordShape) and qualifies(engine, item)):
             return None
+        if item.lenient:
+            return None  # same rule as bigsetrec: failing items skipped
         # key (and a value reference's target) must be captured from a
         # PLAIN (exactly-one) direct leaf property of the item record,
         # so every matching item has exactly one captured term
@@ -281,12 +306,17 @@ def _scalar_base(engine, all_props,
     agg_exprs: List[str] = ["min(tid) AS sord"]
     preds: List[str] = []
     for i, (prop, plan) in enumerate(all_props):
+        nmatch = None
         if plan[0] == "anyleaf":
-            # matches when ANY variant matches (frameAnyOf over a
-            # leaf-only union): fail = every variant's check fails
-            fail = "(" + " AND ".join(
-                engine._s_node_checks(leaf, "o")[0] for leaf in plan[1]
-            ) + ")"
+            # fail = every variant's check fails; matches are counted
+            # PER (triple, variant) — the general compiler emits one
+            # match row per matching variant, so a term matching two
+            # variants must count 2 (exactly-one then fails with 204)
+            checks = [engine._s_node_checks(leaf, "o")[0]
+                      for leaf in plan[1]]
+            fail = "(" + " AND ".join(checks) + ")"
+            nmatch = "(" + " + ".join(
+                f"IF(NOT {c}, 1, 0)" for c in checks) + ")"
         elif plan[0] == "gather" and not is_self_path(prop.path):
             if plan[1] not in ("plain", "optional"):
                 return None  # bounded sets need the array gather
@@ -294,8 +324,14 @@ def _scalar_base(engine, all_props,
         else:
             continue
         pc = f"p = {s_str(prop.path.predicate)}"
-        agg_exprs.append(
-            f"count(CASE WHEN {pc} AND NOT {fail} THEN 1 END) AS __nm{i}")
+        if nmatch is not None:
+            agg_exprs.append(
+                f"coalesce(sum(CASE WHEN {pc} THEN {nmatch} ELSE 0 END), "
+                f"0) AS __nm{i}")
+        else:
+            agg_exprs.append(
+                f"count(CASE WHEN {pc} AND NOT {fail} THEN 1 END) "
+                f"AS __nm{i}")
         agg_exprs.append(
             f"count(CASE WHEN {pc} AND ({fail}) THEN 1 END) AS __nf{i}")
         agg_exprs.append(
@@ -691,7 +727,9 @@ def _build_rel(engine, sid: ShapeID,
             part_col = (
                 "(__capt0).value" if part == "value" else
                 "(__capt0).dt" if part == "datatype" else
-                "(__capt0).lang"
+                # missing language is '' in the reference model
+                # (rdf-model.ts:62) — valid "" JSON key, never NULL
+                "coalesce((__capt0).lang, '')"
             )
             if kind == "mapref":
                 # value-reference map: the entry VALUE is the referenced
@@ -700,14 +738,23 @@ def _build_rel(engine, sid: ShapeID,
                 # target leaf's framed value for a part-less reference
                 vpart = plan[8]
                 vshape2 = engine.catalog.get(plan[7].value_shape)
-                if vpart == "value":
-                    cval = _s_json_quote("(__capt1).value")
-                elif vpart == "datatype":
-                    cval = _s_json_quote("(__capt1).dt")
-                elif vpart == "language":
-                    cval = _s_json_quote("(__capt1).lang")
+                part_src = {"value": "(__capt1).value",
+                            "datatype": "(__capt1).dt",
+                            # reference literals store language as ''
+                            # when absent (rdf-model.ts:62), so the
+                            # compacted part is "" — never null; the
+                            # coalesce keeps s_json_quote away from
+                            # NULL (it would emit '' and corrupt the
+                            # JSON).  Computed on child rows only, so
+                            # a join miss still yields NULL __cv.
+                            "language": "coalesce((__capt1).lang, '')",
+                            }.get(vpart)
+                if part_src is not None:
+                    cval = _s_json_quote(part_src)
                 else:  # part None: the framed value of the target
-                    cval = engine._s_node_value(vshape2, "__capt1")
+                    cval = f"coalesce(" \
+                        f"{engine._s_node_value(vshape2, '__capt1')}, " \
+                        f"'null')"
             else:
                 cval = "__fval"
             cj = child.selectExpr(

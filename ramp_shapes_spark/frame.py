@@ -1660,7 +1660,10 @@ class FrameEngine:
         ).join(keys, "refk", "left")
         key_col = (
             "(kfocus).value" if part in (None, "value") else
-            "(kfocus).dt" if part == "datatype" else "(kfocus).lang"
+            "(kfocus).dt" if part == "datatype" else
+            # missing language is '' in the reference model
+            # (rdf-model.ts:62), giving a valid "" JSON key
+            "coalesce((kfocus).lang, '')"
         )
 
         # map VALUE reference (shapes.ts:136-142; compactByReference,
@@ -1672,12 +1675,17 @@ class FrameEngine:
                 .withColumnRenamed("refk", "__vrk")
             im = im.join(vals, F.col("refk") == F.col("__vrk"), "left")
             vtarget = self.catalog.get(val_ref.target)
-            if val_ref.part == "value":
-                val_col = s_json_quote("(vfocus).value")
-            elif val_ref.part == "datatype":
-                val_col = s_json_quote("(vfocus).dt")
-            elif val_ref.part == "language":
-                val_col = s_json_quote("(vfocus).lang")
+            # reference literals store language as '' when absent
+            # (rdf-model.ts:62), so compactByReference('language') on a
+            # plain literal yields "" — never undefined/null; mirror
+            # that with coalesce so s_json_quote (which emits '' for
+            # NULL and corrupts the JSON) always sees a string
+            part_src = {"value": "(vfocus).value",
+                        "datatype": "(vfocus).dt",
+                        "language": "coalesce((vfocus).lang, '')",
+                        }.get(val_ref.part)
+            if part_src is not None:
+                val_col = s_json_quote(part_src)
             else:
                 # whole framed value of the target node shape
                 val_col = self._s_node_value(vtarget, "vfocus")

@@ -84,6 +84,10 @@ def _sources(w: _Walk, path: PropertyPath, changed: DataFrame,
         return _sources(w, path.inverse, changed, not reverse)
     if isinstance(path, SequencePath):
         parts = list(path.sequence)
+        if not parts:
+            # self path: the property reads the focus itself, so every
+            # changed term is a potentially (un)matching focus
+            return changed
         if reverse:
             parts = parts[::-1]
         out: Optional[DataFrame] = None
@@ -166,6 +170,14 @@ def affected_roots(triples: DataFrame, catalog: ShapeCatalog,
 
     visit(root)
 
+    # a root tree with NO traversal sources anywhere (leaf roots,
+    # wrapper-of-leaf roots, anyOf over leaves) still gains/loses
+    # matches when the universe changes — fall back to "every changed
+    # term is a candidate root" so incremental_frame re-frames them
+    # instead of silently missing new matching terms
+    if all(df is None for df in base.values()):
+        base[root.key()] = changed
+
     # --- fixpoint: propagate affected foci up the reverse edges ------
     affected: Dict[str, Optional[DataFrame]] = {}
     work: List[Tuple[str, DataFrame]] = [
@@ -238,6 +250,29 @@ def incremental_frame(spark: SparkSession, catalog: ShapeCatalog,
     )
     if roots.isEmpty():
         return kept
+    # an explicit candidate is framed unconditionally, but a removal
+    # can take an affected term OUT of the universe (a full re-frame
+    # would never see it) — drop candidates no longer present.  Only
+    # removed-triple endpoints can be absent: everything else in
+    # `roots` came from added triples or walks over triples_new, so
+    # the membership semi-join's left side is delta-sized.
+    if removed is not None:
+        rk = roots.select(
+            "node", term_key_col(F.col("node")).alias("__k"))
+        rmk = _dedup_nodes(changed_nodes(None, removed)).select(
+            term_key_col(F.col("node")).alias("__rk"))
+        safe = rk.join(rmk, rk["__k"] == rmk["__rk"], "left_anti")
+        risky = rk.join(rmk, rk["__k"] == rmk["__rk"], "left_semi")
+        ends = triples_new.select(
+            term_key_col(F.col("s")).alias("__k2"),
+        ).unionAll(triples_new.select(
+            term_key_col(F.col("o")).alias("__k2")))
+        present = risky.join(ends, risky["__k"] == ends["__k2"],
+                             "left_semi")
+        roots = safe.select("node").unionAll(present.select("node")) \
+            .localCheckpoint(eager=True)
+        if roots.isEmpty():
+            return kept
     table = triples_new
     if prune:
         table = shape_subgraph(

@@ -594,7 +594,9 @@ class PyFrame:
         if ctx["part"] == "datatype" and isinstance(raw, Term):
             return raw.dt
         if ctx["part"] == "language" and isinstance(raw, Term):
-            return raw.lang
+            # reference literals store language as '' when absent
+            # (rdf-model.ts:62) — compacting never yields undefined
+            return raw.lang or ""
         if isinstance(raw, Term):
             # whole-match reference through value mapping
             for shape in self.catalog:

@@ -23,6 +23,8 @@ EX = "http://example.com/inc#"
 
 def _canon(value_json: str) -> str:
     v = json.loads(value_json)
+    if not isinstance(v, dict):  # leaf roots frame to scalar JSON
+        return json.dumps(v, sort_keys=True, ensure_ascii=False)
     for k, x in list(v.items()):
         if isinstance(x, list):
             v[k] = sorted(x, key=repr)
@@ -229,3 +231,32 @@ def test_pruned_incremental_equals_full(spark):
                             added, removed, prune=True,
                             diagnostics=False, track_errors=False)
     assert _result_set(got) == _result_set(_full(spark, b, root, new_t))
+
+
+def test_leaf_root_sees_new_terms(spark):
+    """A leaf root (no traversal paths anywhere in the tree) must still
+    pick up brand-new matching terms from the delta — the conservative
+    fallback treats every changed term as a candidate (round-5
+    review)."""
+    b = ShapeBuilder()
+    root = b.literal(datatype=XSD_STRING)
+    base = [(iri("a"), EX + "p", lit("one"))]
+    _check(spark, b, root, base,
+           add=[(iri("b"), EX + "p", lit("two"))])
+
+
+def test_self_only_record_root_sees_new_terms(spark):
+    """A record whose only property is a self path gains matches when
+    the universe grows (round-5 review: empty-sequence _sources must
+    return the changed terms, not an empty frame)."""
+    from ramp_shapes_spark.shapes import SELF_PATH
+
+    b = ShapeBuilder()
+    root = b.record(
+        EX + "Node",
+        properties=[prop("id", SELF_PATH, b.resource(only_named=True))],
+    )
+    base = [(iri("a"), EX + "p", iri("x"))]
+    _check(spark, b, root, base,
+           add=[(iri("b"), EX + "p", iri("y"))],
+           remove=[(iri("a"), EX + "p", iri("x"))])
