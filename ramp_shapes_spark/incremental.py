@@ -267,8 +267,18 @@ def incremental_frame(spark: SparkSession, catalog: ShapeCatalog,
             term_key_col(F.col("s")).alias("__k2"),
         ).unionAll(triples_new.select(
             term_key_col(F.col("o")).alias("__k2")))
-        present = risky.join(ends, risky["__k"] == ends["__k2"],
-                             "left_semi")
+        # membership probe with the BIG side streamed: semi-joining
+        # risky (delta-sized) against ends directly would put the big
+        # relation on the build side (left_semi can only broadcast the
+        # right), forcing a full-table shuffle per delta — instead scan
+        # ends once against a broadcast of the delta keys (column-pruned
+        # to s/o only), then shrink back to risky
+        present_k = ends.join(
+            F.broadcast(risky.select("__k").distinct()),
+            F.col("__k2") == F.col("__k"), "left_semi",
+        ).select(F.col("__k2").alias("__pk")).distinct()
+        present = risky.join(F.broadcast(present_k),
+                             risky["__k"] == F.col("__pk"), "left_semi")
         roots = safe.select("node").unionAll(present.select("node")) \
             .localCheckpoint(eager=True)
         if roots.isEmpty():
