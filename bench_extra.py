@@ -1,0 +1,107 @@
+"""Round-6 optimization harness (bench.py is FROZEN for measurement —
+this file owns all extra instrumentation).
+
+Modes:
+  python bench_extra.py time <query> [reps]     one fresh JVM, warmup +
+                                                interleaved reps, count()
+                                                timing (bench parity)
+  python bench_extra.py noop <query> [reps]     same but noop-sink action
+                                                (guide §1.4)
+  python bench_extra.py plan <query> <outfile>  explain("formatted") dump
+  python bench_extra.py pipeline [reps]         kg_pipeline timing replica
+
+Session config mirrors bench.py exactly so numbers are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.local.dir", "/dev/shm/spark-local")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .appName("ramp-shapes-spark-bench-extra")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    spark = _session()
+    import __spark_entry__ as entrymod
+
+    if mode == "pipeline":
+        from ramp_shapes_spark.pipeline.datagen import generate_transcripts
+        from ramp_shapes_spark.pipeline.run import run_pipeline
+
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        n_conv = int(os.environ.get("SPARK_GRAFT_NCONV", "3000"))
+        turns = generate_transcripts(
+            spark, n_conv, n_entities=2000, partitions=int(CPUS)
+        ).localCheckpoint(eager=True)
+        n_turns = turns.count()
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            result = run_pipeline(spark, turns, track_errors=True)
+            n_triples = result.triples.count()
+            times.append(round(time.time() - t0, 3))
+        print(json.dumps({"query": "kg_pipeline", "times": times,
+                          "min": min(times), "n_turns": n_turns,
+                          "n_triples": n_triples}))
+        return
+
+    name = sys.argv[2]
+    fn = entrymod.queries()[name]
+    if mode == "plan":
+        out = sys.argv[3]
+        df = fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        with open(out, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {out} ({len(plan)} bytes)")
+        return
+
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    action = _noop if mode == "noop" else (lambda df: df.count())
+    spark.sparkContext.setJobDescription(f"{mode}:{name} warmup")
+    action(fn(spark, SF_DIR))
+    times = []
+    for r in range(reps):
+        spark.sparkContext.setJobDescription(f"{mode}:{name} rep{r}")
+        t0 = time.time()
+        action(fn(spark, SF_DIR))
+        times.append(round(time.time() - t0, 3))
+    print(json.dumps({"query": name, "mode": mode, "times": times,
+                      "min": min(times)}))
+
+
+if __name__ == "__main__":
+    main()

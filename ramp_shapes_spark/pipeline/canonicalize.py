@@ -76,8 +76,16 @@ def _jump_to_roots(parent: DataFrame, round_secs: list) -> DataFrame:
     checkpointed map map-side instead of re-shuffling all of it."""
     import time as _time
 
-    done_parts: list = []
-    active = parent.select("n", F.col("m").alias("r"))
+    # roots (m == n) are fixpoints of the map from the start: they can
+    # never change, so they go straight to the done set — on hub-major
+    # forests that removes the (large) root fraction from round 1's
+    # left side for free (they stay visible as right-side targets)
+    done_parts: list = [
+        parent.filter(F.col("m") == F.col("n"))
+        .select("n", F.col("m").alias("r"))
+    ]
+    active = parent.filter(F.col("m") != F.col("n")) \
+        .select("n", F.col("m").alias("r"))
     n_active = None
     for _ in range(MAX_ROUNDS):
         _t0 = _time.time()
@@ -89,7 +97,10 @@ def _jump_to_roots(parent: DataFrame, round_secs: list) -> DataFrame:
             keys = active.select(F.col("r").alias("__n2")).distinct()
             right = right.join(F.broadcast(keys), "__n2", "leftsemi")
         nxt = (
-            active.join(right, F.col("r") == F.col("__n2"))
+            # shuffle_hash: both sides are narrow (n, r) long pairs —
+            # the sort-merge sorts are pure overhead per round
+            active.join(right.hint("shuffle_hash"),
+                        F.col("r") == F.col("__n2"))
             .select(F.col("n"),
                     (F.col("__r2") != F.col("r")).alias("__chg"),
                     F.col("__r2").alias("r"))
@@ -146,7 +157,7 @@ def _driver_cc(edges: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, hot_k: int = 64,
                          stats: dict | None = None,
-                         driver_threshold: int = 100_000) -> DataFrame:
+                         driver_threshold: int = 500_000) -> DataFrame:
     """(node, component) for every node in ``edges`` (src/dst string
     columns); component = lexicographic minimum of the component.
 
@@ -167,7 +178,11 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
     needs no hot-node dictionary (partial aggregation absorbs skew).
     Graphs at or below ``driver_threshold`` edges (initially or after
     any contraction) finish on the driver via union-find; pass 0 to
-    force full distributed convergence.
+    force full distributed convergence.  The default crossover is set
+    from measurement: one distributed contraction phase has ~6 s of
+    fixed driver-round cost at ANY size (min-parent groupBy + ~5 jump
+    rounds + contraction joins), while collect + union-find on 500 k
+    narrow edge rows is ~2.5 s and ~20 MB of driver memory.
 
     Pass a dict as ``stats`` to receive ``{"rounds", "phases",
     "round_secs", "round_edges"}`` (rounds = total pointer-jump rounds
@@ -185,9 +200,17 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
     restored at exit by one per-component min-string aggregation."""
     import time as _time
 
+    # NO initial distinct: every consumer is duplicate-tolerant (the
+    # degree groupBy absorbs multiplicity map-side, _min_nbr is a min,
+    # and the first contraction's distinct dedups in cheap long space),
+    # so the full-width string dedup shuffle of the raw edge list was
+    # pure overhead (measured 7.0 s -> 3.7 s on the 10M-edge bench).
+    # ``n_edges`` is then the RAW count — the driver-threshold check
+    # only becomes more conservative (a dup-heavy small graph may take
+    # the distributed path it didn't need; never the reverse).
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
-        .distinct().localCheckpoint(eager=False)
-    n_edges = cur.count()  # materializes the deduped checkpoint
+        .localCheckpoint(eager=False)
+    n_edges = cur.count()  # materializes the checkpoint
     if driver_threshold > 0 and n_edges <= driver_threshold:
         if stats is not None:
             stats["rounds"] = 0
@@ -228,17 +251,24 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
         )
         .localCheckpoint(eager=False)
     )
+    # shuffle_hash hints on the dictionary joins: every row is narrow
+    # (string key + long id), per-partition hash builds are a few MB at
+    # bench scale and stay proportional when shuffle partitions scale
+    # with the data; the sort-merge sorts they replace are pure CPU
     enc = (
-        cur.join(dic.selectExpr("__ns AS src", "__nid AS __se"), "src")
-        .join(dic.selectExpr("__ns AS dst", "__nid AS __de"), "dst")
+        cur.join(dic.selectExpr("__ns AS src", "__nid AS __se")
+                 .hint("shuffle_hash"), "src")
+        .join(dic.selectExpr("__ns AS dst", "__nid AS __de")
+              .hint("shuffle_hash"), "dst")
         .select(F.col("__se").alias("src"), F.col("__de").alias("dst"))
         .localCheckpoint(eager=False)
     )
     ids = _cc_core(enc, n_edges, stats=stats,
                    driver_threshold=driver_threshold)
-    dec = ids.join(dic.selectExpr("__nid AS node", "__ns"), "node")
+    dec = ids.join(dic.selectExpr("__nid AS node", "__ns")
+                   .hint("shuffle_hash"), "node")
     reps = dec.groupBy("component").agg(F.min("__ns").alias("__rep"))
-    return dec.join(reps, "component").select(
+    return dec.join(reps.hint("shuffle_hash"), "component").select(
         F.col("__ns").alias("node"), F.col("__rep").alias("component"))
 
 
@@ -273,10 +303,12 @@ def _cc_core(cur: DataFrame, n_edges: int,
             )
         mapping = mapping.localCheckpoint(eager=False)
         cur = (
-            cur.join(root.selectExpr("n AS __sn", "r AS __sr"),
+            cur.join(root.selectExpr("n AS __sn", "r AS __sr")
+                     .hint("shuffle_hash"),
                      F.col("src") == F.col("__sn"))
             .select(F.col("__sr").alias("src"), "dst")
-            .join(root.selectExpr("n AS __dn", "r AS __dr"),
+            .join(root.selectExpr("n AS __dn", "r AS __dr")
+                  .hint("shuffle_hash"),
                   F.col("dst") == F.col("__dn"))
             .select("src", F.col("__dr").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
@@ -320,15 +352,17 @@ def _cc_core(cur: DataFrame, n_edges: int,
 
 
 def canonical_entity_map(link_edges: DataFrame, hot_k: int = 64,
-                         driver_threshold: int = 100_000) -> DataFrame:
+                         driver_threshold: int = 500_000) -> DataFrame:
     """(node, canonical) where canonical is the component's entity id
     (prefer ``entity:`` nodes as representatives over mention nodes).
 
     Small graphs resolve entirely on the driver (union-find plus rep
     selection in one pass — the distributed rep groupBy/join is 3-4
-    cluster jobs of pure overhead at that size)."""
+    cluster jobs of pure overhead at that size).  No dedup pass: the
+    union-find and the distributed contraction are both duplicate-
+    tolerant, so the distinct shuffle was pure overhead."""
     cur = link_edges.select("src", "dst") \
-        .filter(F.col("src") != F.col("dst")).distinct() \
+        .filter(F.col("src") != F.col("dst")) \
         .localCheckpoint(eager=False)
     if driver_threshold > 0 and cur.count() <= driver_threshold:
         comp = _union_find(cur)
