@@ -266,9 +266,21 @@ def _seeded_closure(df: DataFrame, keys: List[str], inner,
 
 def _closure(base: DataFrame) -> DataFrame:
     """Transitive closure (distance >= 1) of a keyed one-step relation
-    (__u, node, tord) by pointer doubling; see the closure commentary in
-    :func:`eval_path`."""
-    r = base.localCheckpoint(eager=False)
+    (__u, node, tord); see the closure commentary in :func:`eval_path`.
+
+    The doubling loop runs over COMPACT rows (__u, __vk, tord) — the
+    reached term collapsed to its flat string key — instead of carrying
+    the 4-field TERM struct through every join, dedup and checkpoint of
+    every round; the struct is restored once at exit by one join
+    against the (much smaller) distinct-node side map.  Per-round
+    shuffle bytes roughly halve and the dedup groups by two flat
+    strings instead of (string, struct)."""
+    nodes = base.select(
+        term_key_col(F.col("node")).alias("__vk"), "node"
+    ).dropDuplicates(["__vk"]).localCheckpoint(eager=False)
+    r = base.select(
+        "__u", term_key_col(F.col("node")).alias("__vk"), "tord"
+    ).localCheckpoint(eager=False)
     total = r.count()
     base_rows = max(total, 1)
     iterations = 0
@@ -276,10 +288,11 @@ def _closure(base: DataFrame) -> DataFrame:
         iterations += 1
         if iterations > MAX_CLOSURE_ITERATIONS:
             raise RuntimeError("property-path closure exceeded iteration cap")
-        left = r.select("__u", term_key_col(F.col("node")).alias("__vk"))
-        right = r.select(F.col("__u").alias("__vk"), "node", "tord")
-        comp = left.join(right, "__vk").select("__u", "node", "tord")
-        nxt = _dedup(r.unionAll(comp), ["__u"]) \
+        right = r.selectExpr("__u AS __w", "__vk", "tord")
+        comp = r.select("__u", F.col("__vk").alias("__w")) \
+            .join(right, "__w").select("__u", "__vk", "tord")
+        nxt = r.unionAll(comp) \
+            .groupBy("__u", "__vk").agg(F.min("tord").alias("tord")) \
             .localCheckpoint(eager=False)
         n = nxt.count()
         if n > base_rows * MAX_CLOSURE_GROWTH:
@@ -294,7 +307,7 @@ def _closure(base: DataFrame) -> DataFrame:
         if n == total:
             break
         total = n
-    return r
+    return r.join(nodes, "__vk").select("__u", "node", "tord")
 
 
 def _compose_universal(a, a_self: bool, b, b_self: bool):
