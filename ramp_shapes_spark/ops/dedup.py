@@ -43,23 +43,37 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
 def minhash_signature(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 4) -> DataFrame:
     """k-permutation minhash over the token set, one salted md5 min per
-    permutation: (doc_id, sig_0..sig_{k-1})."""
-    toks = tokens_col(F.col(text_col))
+    permutation: (doc_id, sig_0..sig_{k-1}).
+
+    Tokenization happens ONCE per document (a pre-projected column, not
+    re-split per permutation) and duplicates collapse with
+    ``array_distinct`` before hashing — the min over the token SET is
+    identical, and every duplicate token drops k salted md5s."""
+    base = docs.select(
+        F.col(id_col),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("__toks"),
+    )
     cols = [F.col(id_col)]
     for j in range(k):
         cols.append(
             F.array_min(
-                F.transform(toks, lambda t: F.md5(F.concat(t, F.lit(f"#s{j}"))))
+                F.transform(F.col("__toks"),
+                            lambda t: F.md5(F.concat(t, F.lit(f"#s{j}"))))
             ).alias(f"sig_{j}")
         )
-    return docs.select(*cols)
+    return base.select(*cols)
 
 
 def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 4) -> DataFrame:
     """Candidate near-duplicate pairs: documents with identical full
     minhash signature (AND-composition of k hashes — high precision
-    bucket join). Returns (doc_a, doc_b), doc_a < doc_b."""
+    bucket join). Returns (doc_a, doc_b), doc_a < doc_b.
+
+    No distinct pass: every document has exactly ONE full-signature
+    bucket, so the bucket self-join already emits each qualifying pair
+    exactly once — the old trailing ``distinct()`` re-shuffled ~3M
+    output rows at sf0.1 to remove duplicates that cannot exist."""
     sig = minhash_signature(docs, text_col, id_col, k)
     bucket = F.concat_ws("|", *[F.col(f"sig_{j}") for j in range(k)])
     b = sig.select(F.col(id_col).alias("doc"), bucket.alias("bucket"))
@@ -69,7 +83,6 @@ def minhash_dup_pairs(docs: DataFrame, text_col: str = "text",
         a.join(c, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
@@ -108,7 +121,12 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
     :func:`neardup_clusters`, whose bucket-star edges are O(docs×bands).
     """
     k = bands * rows
-    sig = minhash_signature(docs, text_col, id_col, k)
+    # one materialization: the signature table feeds the guard
+    # aggregation, the signature-group gather and (via the group table)
+    # both join sides; eager checkpoint (not persist) keeps repeated
+    # invocations honest
+    sig = minhash_signature(docs, text_col, id_col, k) \
+        .localCheckpoint(eager=True)
     band_entries = F.array(*[
         F.struct(
             F.lit(j).alias("band"),
@@ -117,16 +135,11 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
         )
         for j in range(bands)
     ])
-    exploded = sig.select(
-        F.col(id_col).alias("doc"), F.explode(band_entries).alias("e")
-    ).select("doc", F.col("e.band").alias("band"),
-             F.col("e.bucket").alias("bucket"))
-    # one materialization: the banded rows feed the guard aggregation
-    # plus BOTH sides of the self-join — recomputing the k-permutation
-    # minhash three times would dominate; eager checkpoint (not
-    # persist) keeps repeated invocations honest
-    exploded = exploded.localCheckpoint(eager=True)
     if max_bucket_width is not None or max_pairs is not None:
+        exploded = sig.select(
+            F.col(id_col).alias("doc"), F.explode(band_entries).alias("e")
+        ).select("doc", F.col("e.band").alias("band"),
+                 F.col("e.bucket").alias("bucket"))
         g = (
             exploded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__w"))
@@ -148,14 +161,53 @@ def minhash_banded_pairs(docs: DataFrame, text_col: str = "text",
                 f"minhash_banded_pairs: candidate volume {g['__cand']} "
                 f"exceeds max_pairs={max_pairs}; raise the cap or use "
                 f"neardup_clusters (refusing to silently truncate)")
-    a = exploded.select(F.col("doc").alias("doc_a"), "band", "bucket")
-    b = exploded.select(F.col("doc").alias("doc_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+    # SIGNATURE-GROUP join: documents with identical full signatures
+    # are interchangeable for every band bucket, so the bucket self-
+    # join runs over one row per DISTINCT signature and member lists
+    # expand afterwards — each qualifying doc pair is emitted exactly
+    # once (same-group pairs share every band and come from the
+    # within-group branch; cross-group pairs from the one unordered
+    # group pair), so the quadratic join output never pays the full-
+    # width distinct the doc-level join needed (a dup-heavy corpus
+    # emitted each pair up to ``bands`` times: ~25M joined rows
+    # deduped to 9.8M at sf0.1).  Member arrays are bounded by the
+    # bucket-width guard above (a clique is never wider than its band
+    # bucket).
+    grp = (
+        sig.groupBy(*[F.col(f"sig_{j}") for j in range(k)])
+        .agg(F.min(F.col(id_col)).alias("__gid"),
+             F.collect_list(F.col(id_col)).alias("__m"))
+        .localCheckpoint(eager=True)
+    )
+    gx = grp.select(
+        "__gid", F.explode(band_entries).alias("e")
+    ).select("__gid", F.col("e.band").alias("band"),
+             F.col("e.bucket").alias("bucket"))
+    gpairs = (
+        gx.select(F.col("__gid").alias("__ga"), "band", "bucket")
+        .join(gx.select(F.col("__gid").alias("__gb"), "band", "bucket"),
+              ["band", "bucket"])
+        .filter(F.col("__ga") < F.col("__gb"))
+        .select("__ga", "__gb")
         .distinct()
     )
+    members = grp.select("__gid", "__m")
+    cross = (
+        gpairs.join(members.selectExpr("__gid AS __ga", "__m AS __ma"),
+                    "__ga")
+        .join(members.selectExpr("__gid AS __gb", "__m AS __mb"), "__gb")
+        .select(F.explode("__ma").alias("__a"), "__mb")
+        .select("__a", F.explode("__mb").alias("__b"))
+        .select(F.least("__a", "__b").alias("doc_a"),
+                F.greatest("__a", "__b").alias("doc_b"))
+    )
+    within = (
+        grp.filter(F.size("__m") >= 2)
+        .select(F.explode("__m").alias("doc_a"), "__m")
+        .select("doc_a", F.explode("__m").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return cross.unionAll(within)
 
 
 # hex digit -> low-bit parity of its ascii code ('1'→1, 'a'(97)→1, …):
