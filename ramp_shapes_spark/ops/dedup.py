@@ -28,6 +28,19 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(text, TOKEN_SPLIT), lambda t: t != "")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster's cores when it arrives
+    in fewer partitions (a corpus written as one small parquet file
+    scans as ONE partition, serializing every per-row expression —
+    gram building, salted hashing — onto a single core).  No-op for
+    inputs that already have enough partitions, so a well-partitioned
+    100 TB corpus never pays an extra shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(text_hash, n_docs, keep_id): one row per distinct text; keep_id
@@ -49,7 +62,7 @@ def minhash_signature(docs: DataFrame, text_col: str = "text",
     re-split per permutation) and duplicates collapse with
     ``array_distinct`` before hashing — the min over the token SET is
     identical, and every duplicate token drops k salted md5s."""
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col),
         F.array_distinct(tokens_col(F.col(text_col))).alias("__toks"),
     )
@@ -345,8 +358,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     # both verify sides) and re-tokenizing the corpus four times would
     # dominate the wall clock; an eager local checkpoint (not persist)
     # keeps repeated invocations honest — no cross-call plan-cache hits
-    g = docs.select(F.col(id_col).alias("doc"), grams.alias("grams"),
-                    F.size(grams).alias("n_grams")) \
+    g = spread(docs).select(F.col(id_col).alias("doc"), grams.alias("grams"),
+                            F.size(grams).alias("n_grams")) \
         .localCheckpoint(eager=True)
     inv = g.select("doc", "n_grams", F.explode("grams").alias("gram"))
     # global gram document frequency = the total order for prefixes

@@ -43,8 +43,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k cosine neighbors for the first ``n_queries`` vectors.
     Returns (query_id, neighbor_id, rank, cosine_x10k)."""
-    base = embeddings.select(F.col(id_col).alias("nid"),
-                             F.col(vec_col).alias("nvec"))
+    from ramp_shapes_spark.ops.dedup import spread
+
+    base = spread(embeddings).select(F.col(id_col).alias("nid"),
+                                     F.col(vec_col).alias("nvec"))
     queries = embeddings.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
@@ -78,9 +80,11 @@ def ivf_topk(
     (here the precomputed cluster label; a full IVF would assign
     buckets by nearest centroid the same way).  Same output schema as
     :func:`brute_force_topk`."""
-    base = embeddings.select(F.col(id_col).alias("nid"),
-                             F.col(vec_col).alias("nvec"),
-                             F.col(bucket_col).alias("nb"))
+    from ramp_shapes_spark.ops.dedup import spread
+
+    base = spread(embeddings).select(F.col(id_col).alias("nid"),
+                                     F.col(vec_col).alias("nvec"),
+                                     F.col(bucket_col).alias("nb"))
     queries = embeddings.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
         F.col(bucket_col).alias("qb"),
@@ -115,8 +119,12 @@ def _int_vecs(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     assignment is bit-for-bit deterministic across engines and
     partitionings — floating-point summation order can never flip an
     argmin.  The 1e-4 quantization is far below any embedding noise
-    floor."""
-    return embeddings.select(
+    floor.  Spread across cores first: a single-file embedding table
+    scans as one partition and serializes every distance fold onto one
+    task."""
+    from ramp_shapes_spark.ops.dedup import spread
+
+    return spread(embeddings).select(
         F.col(id_col).alias("nid"),
         F.expr(f"transform({vec_col}, "
                f"x -> CAST(round(x * 10000) AS BIGINT))").alias("v"),
@@ -220,16 +228,30 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold_x10k: int = 9500,
                      bucket_col: str = "label") -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold,
     restricted to same-bucket candidates (the LSH/IVF prefilter).
-    Returns (id_a, id_b, cosine_x10k)."""
-    a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("va"),
-                          F.col(bucket_col).alias("ba"))
-    b = embeddings.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("vb"),
-                          F.col(bucket_col).alias("bb"))
+    Returns (id_a, id_b, cosine_x10k).
+
+    Each side carries its vector NORM as a per-row column, so the
+    within-bucket pair expansion computes one dot product per pair
+    instead of re-deriving both norms pair-by-pair (the norm is the
+    same float expression either way — once per vector, not once per
+    pair — so thresholded values are bit-identical).  The input is
+    spread across cores first: a single-file embedding table scans as
+    one partition and would serialize the whole quadratic pair
+    computation onto one task."""
+    from ramp_shapes_spark.ops.dedup import spread
+
+    emb = spread(embeddings)
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("va"),
+                   F.col(bucket_col).alias("ba"),
+                   _norm(F.col(vec_col)).alias("__na"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("vb"),
+                   F.col(bucket_col).alias("bb"),
+                   _norm(F.col(vec_col)).alias("__nb"))
     pairs = a.join(b, (F.col("ba") == F.col("bb"))
                    & (F.col("id_a") < F.col("id_b")))
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.select("id_a", "id_b",
                      F.floor(sim * 10000 + F.lit(0.5)).cast("long").alias("cosine_x10k"))
