@@ -1,10 +1,17 @@
 """Mention detection + entity-link scoring over conversation turns.
 
-Both stages are Arrow-batched (``pandas_udf`` / vectorized pandas ops —
-never per-row Python in the driver-visible plan), per the pipeline
-contract.  Detection matches a broadcast surface-form dictionary with a
-single compiled alternation regex per executor; scoring is a vectorized
-feature combination (surface length, alias grade, turn role prior).
+Both stages are PURE COLUMN EXPRESSIONS — no Python boundary at all
+(the previous revision used Arrow-batched ``pandas_udf``s; guide-§4
+rule: prefer built-ins, they remove the JVM→Python transpose and the
+worker processes entirely).  Detection finds every surface-form match
+with ``regexp_extract_all`` and recovers each match's character offset
+with a running ``locate`` fold: matches are non-overlapping and
+in-order, and the first literal occurrence of a matched string at or
+after the scan cursor IS its match position (any earlier literal
+occurrence would itself have been matched first — every matched string
+is a full instance of the pattern), so the fold reproduces
+``re.finditer`` starts exactly (verified by tests/test_mentions.py
+against a row-by-row ``re`` reference).
 
 Output of :func:`detect_mentions` is the *mention relation*::
 
@@ -18,56 +25,37 @@ canonical entity.
 
 from __future__ import annotations
 
-import re
-from typing import Iterator, List
-
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType, DoubleType, IntegerType, StringType, StructField, StructType,
-)
-
-_MENTION_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("surface", StringType()),
-            StructField("start", IntegerType()),
-        ]
-    )
-)
 
 # alias grammar of the synthetic corpus (datagen.ALIAS_PATTERNS); a real
 # deployment would broadcast a marisa-trie of surface forms instead
-_SURFACE_RE = re.compile(r"(?:the )?acme-?(\d{5})(?: inc| corp)?")
+_SURFACE_PATTERN = r"(?:the )?acme-?(\d{5})(?: inc| corp)?"
 
 
 def detect_mentions(turns: DataFrame) -> DataFrame:
     """Detect entity-surface mentions in turn text.
 
-    Arrow-batched scan; emits one row per (turn, mention occurrence).
+    Single codegen pass; emits one row per (turn, mention occurrence)
+    with the 0-based character offset of each match.
     """
-
-    @F.pandas_udf(_MENTION_SCHEMA)
-    def find_surfaces(texts: pd.Series) -> pd.Series:
-        out: List[list] = []
-        for text in texts:
-            if text is None:
-                out.append([])
-                continue
-            out.append(
-                [
-                    {"surface": m.group(0), "start": m.start()}
-                    for m in _SURFACE_RE.finditer(text)
-                ]
-            )
-        return pd.Series(out)
-
-    with_mentions = turns.withColumn("__mentions", find_surfaces(F.col("text")))
-    exploded = with_mentions.select(
+    pat = _SURFACE_PATTERN.replace("\\", "\\\\")
+    mention_entries = F.expr(f"""
+        aggregate(
+          regexp_extract_all(text, '{pat}', 0),
+          struct(CAST(1 AS INT) AS cur,
+                 CAST(array() AS
+                      array<struct<surface:string,start:int>>) AS ms),
+          (acc, m) -> struct(
+            CAST(locate(m, text, acc.cur) + length(m) AS INT) AS cur,
+            array_append(acc.ms, struct(
+              m AS surface,
+              CAST(locate(m, text, acc.cur) - 1 AS INT) AS start))),
+          acc -> acc.ms)
+    """)
+    exploded = turns.select(
         "conv_id", "turn_idx", "role",
-        F.explode("__mentions").alias("m"),
+        F.explode(mention_entries).alias("m"),
     ).select(
         "conv_id", "turn_idx", "role",
         F.col("m.surface").alias("surface"),
@@ -91,24 +79,28 @@ def detect_mentions(turns: DataFrame) -> DataFrame:
 
 
 def score_links(mentions: DataFrame) -> DataFrame:
-    """Vectorized link scoring: P(entity | mention, context) proxy.
+    """Link scoring: P(entity | mention, context) proxy.
 
-    Batched numpy arithmetic via pandas_udf — the model hook point for
-    a real linker (bi-encoder dot products etc.).
+    Pure double-arithmetic columns in the same operation order as the
+    previous vectorized-pandas formulation (base + role prior + length
+    bonus, then clip) — bit-identical doubles, zero Python.
     """
-
-    @F.pandas_udf(DoubleType())
-    def score(surface: pd.Series, grade: pd.Series,
-              role: pd.Series) -> pd.Series:
-        base = 1.0 - grade.astype("float64") * 0.07
-        role_prior = role.map({"user": 0.0, "assistant": 0.02, "tool": -0.03}) \
-            .fillna(0.0)
-        length_bonus = surface.str.len().clip(upper=24) / 240.0
-        return (base + role_prior + length_bonus).clip(0.0, 1.0)
-
-    return mentions.withColumn(
-        "score", score(F.col("surface"), F.col("alias_grade"), F.col("role"))
+    base = F.lit(1.0) - F.col("alias_grade").cast("double") * F.lit(0.07)
+    role_prior = (
+        F.when(F.col("role") == "user", F.lit(0.0))
+        .when(F.col("role") == "assistant", F.lit(0.02))
+        .when(F.col("role") == "tool", F.lit(-0.03))
+        .otherwise(F.lit(0.0))
     )
+    length_bonus = (
+        F.least(F.length("surface").cast("double"), F.lit(24.0))
+        / F.lit(240.0)
+    )
+    score = F.least(
+        F.greatest(base + role_prior + length_bonus, F.lit(0.0)),
+        F.lit(1.0),
+    )
+    return mentions.withColumn("score", score)
 
 
 def link_edges(scored: DataFrame, min_score: float = 0.5) -> DataFrame:
