@@ -234,7 +234,12 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
     from pyspark.sql import Window
 
     cap = (1 << 20) - 1
-    w = Window.partitionBy("__part").orderBy("__ns")
+    # order by (hash, string): the window sort compares one long per
+    # pair in the overwhelmingly common case and falls back to the
+    # string only on hash collision — still a deterministic total
+    # order over the (unique) node strings, so ids stay a pure
+    # function of the input
+    w = Window.partitionBy("__part").orderBy(F.xxhash64("__ns"), "__ns")
     dic = (
         cur.select(F.col("src").alias("__ns"))
         .unionAll(cur.select(F.col("dst").alias("__ns")))
