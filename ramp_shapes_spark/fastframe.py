@@ -280,8 +280,17 @@ def _edges(engine, pred: str, inv: bool) -> DataFrame:
     )
 
 
-def record_rel(engine, sid: ShapeID) -> DataFrame:
-    """Memoized match relation (fkey, __fval) of a qualifying record."""
+def record_rel(engine, sid: ShapeID,
+               seeds: Optional[DataFrame] = None) -> DataFrame:
+    """Match relation (fkey, __fval) of a qualifying record; memoized
+    when unseeded.  ``seeds`` (a 1-column ``fkey`` DataFrame of subject
+    keys, expected delta-small) restricts every base relation to the
+    seeds' neighborhood BEFORE aggregation: the per-predicate scans
+    survive (one pass each, broadcast semi-joined) but the groupBys
+    shuffle seed-proportional row counts instead of one group per
+    subject in the table — the shape incremental maintenance needs."""
+    if seeds is not None:
+        return _build_rel(engine, sid, captures=None, seeds=seeds)[0]
     key = sid.key()
     rel = engine._fast_rel.get(key)
     if rel is not None:
@@ -292,7 +301,8 @@ def record_rel(engine, sid: ShapeID) -> DataFrame:
 
 
 def _scalar_base(engine, all_props,
-                 captures: Optional[List[Property]] = None
+                 captures: Optional[List[Property]] = None,
+                 seeds: Optional[DataFrame] = None
                  ) -> Optional[DataFrame]:
     """ONE groupBy with O(1)-state scalar aggregates instead of the
     generic windowed pmap gather — available when every gather-kind
@@ -343,6 +353,9 @@ def _scalar_base(engine, all_props,
         return None
     t = engine.triples.where(F.col("p").isin(preds)).selectExpr(
         f"{s_term_key('s')} AS skey", "p", "tid", "o")
+    if seeds is not None:
+        t = t.join(F.broadcast(seeds.selectExpr("fkey AS skey")),
+                   "skey", "leftsemi")
     base = t.groupBy("skey").agg(
         F.expr(agg_exprs[0]), *[F.expr(e) for e in agg_exprs[1:]])
 
@@ -394,10 +407,15 @@ def _scalar_base(engine, all_props,
 
 
 def _build_rel(engine, sid: ShapeID,
-               captures: Optional[List[Property]]):
+               captures: Optional[List[Property]],
+               seeds: Optional[DataFrame] = None):
     """Build the match relation.  ``captures`` (plain leaf properties
     of this record) additionally export ``__capt{i}`` — the matched
-    object TERM of each — for map key/value referencing.  Returns
+    object TERM of each — for map key/value referencing.  ``seeds``
+    restricts the base scan and the per-predicate edge aggregations to
+    the given subject keys (and child records to the seed edges'
+    objects); composite-path (pathset/pathleaf) relations stay global —
+    reachability may pass through non-seed intermediates.  Returns
     (relation, n_joins) where relation is (fkey, __fval[, __capt0…])."""
     shape: RecordShape = engine.catalog.get(sid)
 
@@ -411,10 +429,15 @@ def _build_rel(engine, sid: ShapeID,
         if plan[0] in ("gather", "anyleaf")
     }
 
-    rel = _scalar_base(engine, all_props, captures)
+    rel = _scalar_base(engine, all_props, captures, seeds)
     if rel is None:
         # bounded-set properties: the array gather off the shared pmap
+        # (global even under seeds — the gather is engine-shared; the
+        # seed restriction applies on its output)
         base = engine.subject_props()  # (skey, __pmap, sord)
+        if seeds is not None:
+            base = base.join(F.broadcast(seeds.selectExpr("fkey AS skey")),
+                             "skey", "leftsemi")
         exprs = ["skey", f"{_FOCUS_SQL} AS focus", "sord AS ord"]
         for i, (prop, plan) in enumerate(all_props):
             if plan[0] == "gather" and not is_self_path(prop.path):
@@ -450,8 +473,18 @@ def _build_rel(engine, sid: ShapeID,
         else:
             pred, inv = plan[1], plan[2]
             e = _edges(engine, pred, inv)
+            if seeds is not None:
+                e = e.join(F.broadcast(seeds.selectExpr("fkey AS __ek")),
+                           "__ek", "leftsemi")
+
+        def _child_seeds():
+            """Seed keys for a child record: the seed edges' objects."""
+            if seeds is None:
+                return None
+            return e.selectExpr(f"{s_term_key('__eo')} AS fkey").distinct()
+
         if kind == "record":
-            child = record_rel(engine, plan[3]).selectExpr(
+            child = record_rel(engine, plan[3], _child_seeds()).selectExpr(
                 f"fkey AS __ck{i}", f"__fval AS __cv{i}")
             # exactly-one: the subject must have exactly one edge AND
             # its object must match the child shape (frame.ts:281-305)
@@ -630,7 +663,7 @@ def _build_rel(engine, sid: ShapeID,
             join_specs.append((i, ok, frag))
         elif kind == "optrec":
             oshape = plan[3]
-            child = record_rel(engine, plan[4]).selectExpr(
+            child = record_rel(engine, plan[4], _child_seeds()).selectExpr(
                 f"fkey AS __ck{i}", "__fval AS __cv")
             ee = e.join(
                 child, F.expr(s_term_key("__eo")) == child[f"__ck{i}"],
@@ -674,8 +707,8 @@ def _build_rel(engine, sid: ShapeID,
                     "__ek", "__etid",
                     f"CASE WHEN NOT ({fail_x}) THEN ({vj}) END AS __ev")
             else:
-                child = record_rel(engine, plan[4]).selectExpr(
-                    f"fkey AS __ck{i}", "__fval AS __cv")
+                child = record_rel(engine, plan[4], _child_seeds()) \
+                    .selectExpr(f"fkey AS __ck{i}", "__fval AS __cv")
                 ee = e.join(
                     child,
                     F.expr(s_term_key("__eo")) == child[f"__ck{i}"], "left",
@@ -720,10 +753,14 @@ def _build_rel(engine, sid: ShapeID,
                 caps.append(plan[7])
             ikey = item_sid.key() + "\x1e" + \
                 "\x1e".join(p.name for p in caps)
-            child = engine._fast_rel.get(ikey)
-            if child is None:
-                child = _build_rel(engine, item_sid, captures=caps)[0]
-                engine._fast_rel[ikey] = child
+            if seeds is not None:  # seeded children are not memoizable
+                child = _build_rel(engine, item_sid, captures=caps,
+                                   seeds=_child_seeds())[0]
+            else:
+                child = engine._fast_rel.get(ikey)
+                if child is None:
+                    child = _build_rel(engine, item_sid, captures=caps)[0]
+                    engine._fast_rel[ikey] = child
             part_col = (
                 "(__capt0).value" if part == "value" else
                 "(__capt0).dt" if part == "datatype" else

@@ -220,7 +220,8 @@ class FrameEngine:
     # public API
     # ------------------------------------------------------------------
     def frame(self, root: ShapeID, strict: bool = False,
-              ordered: bool = False, candidates=None) -> FrameResult:
+              ordered: bool = False, candidates=None,
+              seeded: bool = False) -> FrameResult:
         """Frame candidates of the dataset against ``root``.
 
         Equivalent of ``frame({shape, dataset, candidates})``
@@ -253,6 +254,54 @@ class FrameEngine:
                     "focus struct<kind:string,value:string,dt:string,"
                     "lang:string>, ord long",
                 )
+            # CANDIDATE-SEEDED FAST TREE: with the error channel off,
+            # strict evaluation only changes which rows land in
+            # ``matches`` (non-matching candidates would only feed the
+            # error relation, which is empty by construction here), so
+            # the memoized whole-tree match relation restricted to the
+            # candidate keys IS the answer — one semi-join instead of
+            # the general compiler's ~40 per-site operations.  This is
+            # what makes incremental maintenance (re-frame of the
+            # affected roots) cheaper than the one-pass full re-frame
+            # it competes with.  ``ord`` keeps the caller-candidate
+            # contract (the provided ordinal, not the dataset order).
+            # ``seeded=True`` (caller asserts the candidate set is
+            # delta-small) additionally pushes the candidate keys into
+            # every base relation of the fast tree as broadcast
+            # semi-joins, so aggregations shuffle candidate-
+            # proportional row counts instead of one group per table
+            # subject — the incremental-maintenance shape.
+            if not self._track and not self._diag:
+                from . import fastframe
+                shape0 = self.catalog.get(root)
+                if fastframe.qualifies(self, shape0):
+                    if seeded:
+                        seeds = uni.select(
+                            F.expr(s_term_key("focus")).alias("fkey")
+                        ).distinct()
+                        try:
+                            rel = fastframe.record_rel(self, root,
+                                                       seeds=seeds)
+                        except RuntimeError as exc:
+                            if "refusing to go quadratic" not in str(exc):
+                                raise
+                            rel = None
+                    else:
+                        rel = _try_record_rel(fastframe, self, root)
+                    if rel is not None:
+                        ck = uni.select(
+                            F.expr(s_term_key("focus")).alias("__ck"),
+                            F.col("focus").alias("__cfocus"),
+                            F.col("ord").alias("__cord"),
+                        )
+                        matches = rel.join(
+                            ck, rel["fkey"] == ck["__ck"],
+                        ).selectExpr("__cfocus AS focus", "__cord AS ord",
+                                     "__fval AS value")
+                        if ordered:
+                            matches = matches.orderBy("ord")
+                        return FrameResult(
+                            matches, lambda: self._empty(ERROR_FIELDS))
         else:
             if not strict:
                 # fast-tree root: the match relation already carries

@@ -219,6 +219,7 @@ def incremental_frame(spark: SparkSession, catalog: ShapeCatalog,
                       added: Optional[DataFrame],
                       removed: Optional[DataFrame],
                       prune: bool = False,
+                      force_incremental: bool = False,
                       **frame_kwargs) -> DataFrame:
     """Maintain ``frame(root)`` across a delta: returns the new
     ``matches`` relation (``focus``, ``ord``, ``value``) equal — up to
@@ -228,17 +229,37 @@ def incremental_frame(spark: SparkSession, catalog: ShapeCatalog,
     the ``focus`` column).  ``added``/``removed``: the delta as
     ``(s, p, o)`` DataFrames (either may be ``None``).
 
+    **Crossover (measured, round 6).**  The delta-proportional path
+    (affected-root walk → membership probe → seeded re-frame → kept
+    merge) costs a CONSTANT ~5-6 filtered passes over the triple table
+    plus one pass over ``old_matches``, while the fast-tree full
+    re-frame is ONE aggregation pass; on an in-memory/unpruned table
+    the full re-frame therefore wins at every measured scale
+    (24 M triples / 200-row delta: full 4.6 s vs incremental 15.5 s,
+    pruned 18.9 s — tools/incremental_bench.py).  By default this
+    function now DELEGATES to the full re-frame, which satisfies the
+    same contract (its output IS the maintained view).  Pass
+    ``force_incremental=True`` (or ``prune=True``) to run the
+    delta-proportional machinery anyway — the right call only when
+    table scans actually prune (a pbucket-partitioned store read
+    through ``frame_from_store``-style pruning) or the table far
+    exceeds cluster memory, where "one aggregation pass" is no longer
+    cheap and the walk's predicate-pushed, delta-seeded scans are.
+
     ``prune=True`` first extracts the affected foci's subgraph
     (subgraph.py, seeded at the affected roots) and re-frames against
     THAT — the re-frame's joins then touch a delta-proportional slice
-    instead of the full table, which is the shape a 100 TB store
-    needs; the extraction itself is frontier equi-joins whose
-    predicate filters push to the scan (and prune ``pbucket``
-    partitions when framing off the materialized sink).  Frame
-    equality is guaranteed by the subgraph walk's invariant
+    instead of the full table; the extraction itself is frontier
+    equi-joins whose predicate filters push to the scan (and prune
+    ``pbucket`` partitions when framing off the materialized sink).
+    Frame equality is guaranteed by the subgraph walk's invariant
     (frame(subgraph) == frame(full) for the walked roots)."""
     from .frame import FrameEngine
     from .subgraph import shape_subgraph
+
+    if not force_incremental and not prune:
+        engine = FrameEngine(spark, catalog, triples_new, **frame_kwargs)
+        return engine.frame(root).matches.select(*old_matches.columns)
 
     roots = affected_roots(
         triples_new, catalog, root,
@@ -289,7 +310,14 @@ def incremental_frame(spark: SparkSession, catalog: ShapeCatalog,
             triples_new, catalog, root, roots=roots,
         ).localCheckpoint(eager=True)
     engine = FrameEngine(spark, catalog, table, **frame_kwargs)
+    # seeded=True when the affected set is delta-small (the common
+    # case): the re-frame's base relations are then restricted to the
+    # affected subjects via broadcast semi-joins instead of
+    # aggregating one group per table subject (frame.py / fastframe.py
+    # seeded path); `roots` is an eager checkpoint, so the count is a
+    # cheap cached action
     res = engine.frame(
-        root, candidates=roots.select(F.col("node").alias("focus")))
+        root, candidates=roots.select(F.col("node").alias("focus")),
+        seeded=roots.count() <= 1_000_000)
     fresh = res.matches.select(*old_matches.columns)
     return kept.unionByName(fresh)

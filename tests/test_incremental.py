@@ -98,6 +98,12 @@ def _check(spark, b, root, base, add=(), remove=(),
                             diagnostics=False, track_errors=False)
     want = _full(spark, b, root, new_t)
     assert _result_set(got) == _result_set(want)
+    # the delta-proportional machinery must satisfy the same contract
+    # when forced (the auto path delegates to a full re-frame)
+    forced = incremental_frame(spark, b.catalog, root, old_matches, new_t,
+                               added, removed, force_incremental=True,
+                               diagnostics=False, track_errors=False)
+    assert _result_set(forced) == _result_set(want)
     if max_affected is not None:
         n = affected_roots(new_t, b.catalog, root,
                            changed_nodes(added, removed)).count()
