@@ -163,14 +163,26 @@ def kmeans_assign(embeddings: DataFrame, n_clusters: int = 8,
         "nid AS cid", "v AS cv")
     for _ in range(iters):
         assign = _assign(e, cents)
-        pe = assign.join(e, "nid").select(
-            "cid", F.posexplode("v").alias("dim", "val"))
-        nc = pe.groupBy("cid", "dim").agg(
-            F.expr("CAST(floor(sum(val) * 1.0 / count(1)) AS BIGINT)")
-            .alias("cval"))
-        cents = nc.groupBy("cid").agg(
-            F.expr("transform(array_sort(collect_list(struct(dim, cval))),"
-                   " s -> s.cval)").alias("cv"))
+        # centroid update in ONE groupBy: elementwise exact-integer
+        # vector sums via a fold over the cluster's member list (64-bit
+        # sums are associativity-safe under any aggregation order), then
+        # the same floor(sum * 1.0 / count) per dimension — replaces the
+        # posexplode + (cid, dim) + (cid) double-shuffle pipeline
+        cents = (
+            assign.join(e, "nid")
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.expr(
+                     "aggregate(collect_list(v), "
+                     "CAST(NULL AS ARRAY<BIGINT>), "
+                     "(acc, x) -> CASE WHEN acc IS NULL THEN x "
+                     "ELSE zip_with(acc, x, (a, b) -> a + b) END)")
+                 .alias("__sum"))
+            .selectExpr(
+                "cid",
+                "transform(__sum, s -> "
+                "CAST(floor(s * 1.0 / __n) AS BIGINT)) AS cv")
+        )
     return _assign(e, cents), cents
 
 
