@@ -54,13 +54,19 @@ def ngram_decontaminate(train: DataFrame, eval_docs: DataFrame,
     combine.  Exactly one shuffle, no train-side self-join, no skew
     risk (gram frequency never keys a shuffle).
     """
+    from .dedup import spread
+
+    # spread: both sides arrive as filtered slices of one small parquet
+    # file (a single scan partition), which would serialize the whole
+    # gram build onto one core
     eval_grams = (
-        eval_docs.select(
+        spread(eval_docs).select(
             F.explode(
                 F.array_distinct(word_ngrams(tokens_col(F.col(text_col)), n))
             ).alias("gram")
         ).distinct()
     )
+    train = spread(train)
     train_grams = train.select(
         F.col(id_col),
         F.explode(
