@@ -77,6 +77,36 @@ def main() -> None:
                           "n_triples": n_triples}))
         return
 
+    if mode == "cc":
+        # replica of bench.py's cc_zipf_10m leg with per-phase stats
+        from pyspark.sql import functions as F
+
+        from ramp_shapes_spark.pipeline.canonicalize import (
+            connected_components,
+        )
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        n_edges = int(os.environ.get("SPARK_GRAFT_CC_EDGES", "10000000"))
+        n_nodes = n_edges
+        u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_003)) + 0.5) \
+            / 1_000_003.0
+        zipf_dst = F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(3.0)))
+        edges = (
+            spark.range(0, n_edges, 1, int(CPUS) * 2)
+            .select(
+                F.concat(F.lit("n"), F.col("id").cast("string"))
+                .alias("src"),
+                F.concat(F.lit("n"), zipf_dst.cast("long").cast("string"))
+                .alias("dst"),
+            )
+        )
+        for r in range(reps):
+            stats: dict = {}
+            t0 = time.time()
+            n_cc = connected_components(edges, hot_k=64, stats=stats).count()
+            print(json.dumps({"rep": r, "sec": round(time.time() - t0, 3),
+                              "nodes": n_cc, **stats}))
+        return
+
     name = sys.argv[2]
     fn = entrymod.queries()[name]
     if mode == "plan":

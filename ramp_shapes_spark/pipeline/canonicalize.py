@@ -208,9 +208,18 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
     # ``n_edges`` is then the RAW count — the driver-threshold check
     # only becomes more conservative (a dup-heavy small graph may take
     # the distributed path it didn't need; never the reverse).
+    import os as _os
+    _dbg = _os.environ.get("SPARK_GRAFT_CC_DEBUG")
+
+    def _dlog(msg: str, t0: float) -> None:
+        if _dbg:
+            print(f"[cc] {msg}: {_time.time() - t0:.2f}s", flush=True)
+
+    _t = _time.time()
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
         .localCheckpoint(eager=False)
     n_edges = cur.count()  # materializes the checkpoint
+    _dlog(f"edge checkpoint+count ({n_edges})", _t)
     if driver_threshold > 0 and n_edges <= driver_threshold:
         if stats is not None:
             stats["rounds"] = 0
@@ -223,39 +232,67 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
     # the min-parent forest roots at hubs.  On skewed graphs that is
     # what makes one phase contract the Zipf head; an arbitrary id
     # order was measured to leave 4.6M of 10M edges alive after phase 1
-    # vs ~0.5M with hub-major order.  The counter is a pure function of
-    # the node string — hash partition (10 bits) + row_number over the
-    # partition sorted by __ns (32 bits, deterministic because __ns is
-    # unique post-groupBy) — NOT monotonically_increasing_id, whose
-    # value depends on task scheduling: ``dic`` feeds two independent
-    # join subtrees of ``enc``, and a task retry or concurrent first
-    # computation of a partition must not hand the same node two ids
-    # (that would split components).
-    from pyspark.sql import Window
-
+    # vs ~0.5M with hub-major order.
+    #
+    # The low-bit counter only needs to be UNIQUE and CONSISTENT for
+    # the run — contraction is correct under any total order, component
+    # MEMBERSHIP is id-invariant, and the public representative (min
+    # node STRING per component) is restored from membership at exit —
+    # so the cheap counter is ``monotonically_increasing_id`` frozen by
+    # an EAGER checkpoint: materialization happens in ONE job before
+    # either ``enc`` join subtree reads it, each partition's block is
+    # written exactly once, and every consumer sees the same frozen
+    # ids (the round-5 hazard — two lazy first-computations of a
+    # partition handing a node two ids — cannot occur on materialized
+    # blocks).  This drops the row_number window's full shuffle + sort
+    # of the node table that the r5 dictionary paid.  mid values are
+    # bounded by partitions·2^33, so the degree bits at 42+ stay
+    # collision-free only when the shuffle produces <= 512 partitions —
+    # guarded below, with the r5 window path as the fallback for
+    # higher-parallelism sessions.
     cap = (1 << 20) - 1
-    # order by (hash, string): the window sort compares one long per
-    # pair in the overwhelmingly common case and falls back to the
-    # string only on hash collision — still a deterministic total
-    # order over the (unique) node strings, so ids stay a pure
-    # function of the input
-    w = Window.partitionBy("__part").orderBy(F.xxhash64("__ns"), "__ns")
-    dic = (
+    spark = cur.sparkSession
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_shuffle = 1 << 30
+    try:
+        n_initial = int(spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"))
+    except Exception:
+        n_initial = 0
+    _t = _time.time()
+    deg = (
         cur.select(F.col("src").alias("__ns"))
         .unionAll(cur.select(F.col("dst").alias("__ns")))
         .groupBy("__ns").agg(F.count(F.lit(1)).alias("__deg"))
-        .withColumn("__part",
-                    F.pmod(F.xxhash64("__ns"), F.lit(1024)).cast("long"))
-        .select(
-            "__ns",
-            (F.shiftleft(
-                (F.lit(cap) - F.least(F.col("__deg"), F.lit(cap)))
-                .cast("long"), 42)
-             + F.shiftleft(F.col("__part"), 32)
-             + F.row_number().over(w).cast("long")).alias("__nid"),
-        )
-        .localCheckpoint(eager=False)
     )
+    inv_deg = F.shiftleft(
+        (F.lit(cap) - F.least(F.col("__deg"), F.lit(cap))).cast("long"), 42)
+    if max(n_shuffle, n_initial) <= 512:
+        dic = deg.select(
+            "__ns",
+            (inv_deg + F.monotonically_increasing_id()).alias("__nid"),
+        ).localCheckpoint(eager=True)
+    else:
+        # r5 path: counter = hash partition (10 bits) + row_number over
+        # the partition ordered by (xxhash64, string) — a deterministic
+        # pure function of the node string at any parallelism
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__part").orderBy(F.xxhash64("__ns"), "__ns")
+        dic = (
+            deg.withColumn(
+                "__part",
+                F.pmod(F.xxhash64("__ns"), F.lit(1024)).cast("long"))
+            .select(
+                "__ns",
+                (inv_deg + F.shiftleft(F.col("__part"), 32)
+                 + F.row_number().over(w).cast("long")).alias("__nid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    _dlog("dictionary build", _t)
     # shuffle_hash hints on the dictionary joins: every row is narrow
     # (string key + long id), per-partition hash builds are a few MB at
     # bench scale and stay proportional when shuffle partitions scale
@@ -268,8 +305,14 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
         .select(F.col("__se").alias("src"), F.col("__de").alias("dst"))
         .localCheckpoint(eager=False)
     )
+    if _dbg:
+        _t = _time.time()
+        enc.count()
+        _dlog("edge encode", _t)
+    _t = _time.time()
     ids = _cc_core(enc, n_edges, stats=stats,
                    driver_threshold=driver_threshold)
+    _dlog("cc core", _t)
     dec = ids.join(dic.selectExpr("__nid AS node", "__ns")
                    .hint("shuffle_hash"), "node")
     reps = dec.groupBy("component").agg(F.min("__ns").alias("__rep"))
@@ -324,7 +367,8 @@ def _cc_core(cur: DataFrame, n_edges: int,
         phase_edges.append(n_edges)
         if __import__("os").environ.get("SPARK_GRAFT_CC_DEBUG"):
             print(f"[cc] phase {_phase + 1}: {phase_secs[-1]}s "
-                  f"edges={n_edges} jumps={len(jump_secs)}", flush=True)
+                  f"edges={n_edges} jumps={len(jump_secs)} "
+                  f"jump_secs={jump_secs}", flush=True)
         if n_edges == 0:
             break
         if driver_threshold > 0 and n_edges <= driver_threshold:
