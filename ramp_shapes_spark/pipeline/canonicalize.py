@@ -86,6 +86,17 @@ def _jump_to_roots(parent: DataFrame, round_secs: list) -> DataFrame:
     ]
     active = parent.filter(F.col("m") != F.col("n")) \
         .select("n", F.col("m").alias("r"))
+    # Round 1 has no changed-row count yet, so it used to join the FULL
+    # map as its right side — on a 10M-node graph that is the single
+    # biggest shuffle of the jump loop, while the lookup keys it needs
+    # (the distinct PARENT values) are only the non-leaf nodes, a small
+    # set on hub-major forests.  Probe their count once (map-side
+    # combine collapses the 10M rows to the distinct parents before the
+    # exchange) and, when small, broadcast-semi-prune round 1's right
+    # side exactly like the later rounds.
+    first_keys = active.select(F.col("r").alias("__n2")).distinct() \
+        .localCheckpoint(eager=False)
+    n_keys = first_keys.count()
     n_active = None
     for _ in range(MAX_ROUNDS):
         _t0 = _time.time()
@@ -93,7 +104,11 @@ def _jump_to_roots(parent: DataFrame, round_secs: list) -> DataFrame:
         for part in done_parts:
             full = full.unionAll(part)
         right = full.selectExpr("n AS __n2", "r AS __r2")
-        if n_active is not None and n_active <= 1_000_000:
+        if n_active is None:
+            if n_keys <= 1_000_000:
+                right = right.join(F.broadcast(first_keys), "__n2",
+                                   "leftsemi")
+        elif n_active <= 1_000_000:
             keys = active.select(F.col("r").alias("__n2")).distinct()
             right = right.join(F.broadcast(keys), "__n2", "leftsemi")
         nxt = (
@@ -316,7 +331,10 @@ def connected_components(edges: DataFrame, hot_k: int = 64,
     dec = ids.join(dic.selectExpr("__nid AS node", "__ns")
                    .hint("shuffle_hash"), "node")
     reps = dec.groupBy("component").agg(F.min("__ns").alias("__rep"))
-    return dec.join(reps.hint("shuffle_hash"), "component").select(
+    # no join hint on the reps side: it holds ONE row per component, so
+    # AQE usually turns this into a broadcast join at runtime (a forced
+    # shuffle_hash re-shuffled all 10.7M decoded rows a third time)
+    return dec.join(reps, "component").select(
         F.col("__ns").alias("node"), F.col("__rep").alias("component"))
 
 
