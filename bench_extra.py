@@ -107,6 +107,27 @@ def main() -> None:
                               "nodes": n_cc, **stats}))
         return
 
+    if mode == "plans":
+        # dump explain("formatted") for many queries in one JVM:
+        #   python bench_extra.py plans <outdir> <suffix> [query ...]
+        # (no query list = every queries() entry)
+        outdir, suffix = sys.argv[2], sys.argv[3]
+        names = sys.argv[4:] or sorted(entrymod.queries())
+        os.makedirs(outdir, exist_ok=True)
+        allq = entrymod.queries()
+        for name in names:
+            try:
+                df = allq[name](spark, SF_DIR)
+                plan = df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted")
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                plan = f"PLAN DUMP FAILED: {exc}\n"
+            path = os.path.join(outdir, f"{name}_{suffix}.txt")
+            with open(path, "w") as fh:
+                fh.write(plan)
+            print(f"wrote {path} ({len(plan)} bytes)", flush=True)
+        return
+
     name = sys.argv[2]
     fn = entrymod.queries()[name]
     if mode == "plan":
