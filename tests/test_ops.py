@@ -941,3 +941,22 @@ def test_simhash_null_text_is_zero(spark):
     s64 = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
            for r in simhash64(docs).collect()}
     assert s64[1] == (0, 0)
+
+
+def test_ngram_positional_filter_keeps_threshold_boundary(spark):
+    """The PPJoin positional filter prunes by an overlap upper bound; a
+    pair sitting EXACTLY at the jaccard threshold (where the bound is
+    tight) must survive.  Docs share a long common suffix of grams and
+    differ in a prefix sized so jaccard lands exactly on 0.5."""
+    from ramp_shapes_spark.ops.dedup import ngram_jaccard_pairs
+
+    # token streams: a = c1..c8 X1..X4, b = c1..c8 Y1..Y4 with n=1
+    # grams: |a| = |b| = 12, inter = 8, union = 16 -> jaccard = 0.5
+    common = [f"c{i}" for i in range(8)]
+    a = " ".join(common + [f"x{i}" for i in range(4)])
+    b = " ".join(common + [f"y{i}" for i in range(4)])
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): r["jacc_x10k"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.5, n=1)
+           .collect()}
+    assert got == {(1, 2): 5000}
