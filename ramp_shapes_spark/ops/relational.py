@@ -101,7 +101,7 @@ def supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("n_regionkey").cast("string"))).alias("o")),
         reg.select(_iri(reg_iri).alias("s"), F.lit(EX + "name").alias("p"),
                    _lit(F.col("r_name"), XSD_STRING).alias("o")),
-    ])
+    ], checkpoint=False)
 
 
 def q_frame_supplier_record(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +191,7 @@ def orders_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             _iri(ord_iri).alias("s"), F.lit(EX + "urgent").alias("p"),
             _lit(F.lit("U"), XSD_STRING).alias("o")),
     ]
-    return _triples(parts)
+    return _triples(parts, checkpoint=False)
 
 
 def q_frame_order_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
