@@ -42,13 +42,19 @@ def _lit(col, dt: str) -> F.Column:
     )
 
 
-def _triples(parts, checkpoint: bool = True) -> DataFrame:
+def _triples(parts, checkpoint: bool = True,
+             dedup: bool = True) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
+    if dedup:
+        out = out.dropDuplicates(["s", "p", "o"])
+    # ``dedup=False`` is for graphs whose construction is INJECTIVE
+    # (each part emits at most one triple per source row and parts use
+    # distinct predicates), where the full-width struct shuffle is a
+    # provable no-op — same rule as pipeline/run.extraction_triples.
     out = (
-        out.dropDuplicates(["s", "p", "o"])
-        .withColumn("tid", F.monotonically_increasing_id())
+        out.withColumn("tid", F.monotonically_increasing_id())
         .select("tid", "s", "p", "o")
     )
     if not checkpoint:
@@ -295,7 +301,11 @@ def lineitem_chain_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                           (F.col("pos") + 1).cast("string"))).alias("o"),
         ),
     ]
-    return _triples(parts)
+    # dedup=False: (orderkey, pos) is a bijection per part and the two
+    # parts use distinct predicates, so construction is injective and
+    # the 1M-row struct dedup shuffle is a provable no-op; the chain
+    # queries' outputs are reach COUNTS, tid-order-insensitive
+    return _triples(parts, dedup=False)
 
 
 def q_path_closure_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
