@@ -197,7 +197,9 @@ def orders_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             _iri(ord_iri).alias("s"), F.lit(EX + "urgent").alias("p"),
             _lit(F.lit("U"), XSD_STRING).alias("o")),
     ]
-    return _triples(parts, checkpoint=False)
+    # injective construction (<=1 triple per order per distinct
+    # predicate), so the struct dedup is a provable no-op too
+    return _triples(parts, checkpoint=False, dedup=False)
 
 
 def q_frame_order_optional_union(spark: SparkSession, sf_dir: str) -> DataFrame:
